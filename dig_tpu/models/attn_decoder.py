@@ -1,0 +1,80 @@
+"""GRU additive-attention recognition head (ASTER-style).
+
+Parity target: `AttentionRecognitionHead` / `AttentionUnit` / `DecoderUnit`
+(reference: models/attn_decoder.py:11-279): per step, additive attention
+over encoder tokens conditioned on the GRU state produces a context vector
+that is concatenated with the previous-symbol embedding and fed to a GRU;
+a linear head emits class logits.  BOS is ``num_classes`` (one past vocab).
+
+TPU redesign: the per-step Python loop becomes a `lax.scan`; the
+key-side attention projection (`xEmbed`) is hoisted out of the loop —
+identical math, one big MXU matmul instead of T small ones.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class AttentionRecognitionHead(nn.Module):
+    num_classes: int
+    s_dim: int = 512
+    att_dim: int = 512
+    max_len_labels: int = 25
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.s_embed = nn.Dense(self.att_dim, dtype=self.dtype)
+        self.x_embed = nn.Dense(self.att_dim, dtype=self.dtype)
+        self.w_embed = nn.Dense(1, dtype=self.dtype)
+        self.tgt_embedding = nn.Embed(self.num_classes + 1, self.att_dim, dtype=self.dtype)
+        self.gru = nn.GRUCell(features=self.s_dim, dtype=self.dtype)
+        self.fc = nn.Dense(self.num_classes, dtype=self.dtype)
+
+    def _attend(self, x, x_proj, state):
+        s_proj = self.s_embed(state)[:, None, :]
+        score = self.w_embed(jnp.tanh(s_proj + x_proj))[..., 0]  # [B, T]
+        alpha = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(x.dtype)
+        return jnp.einsum("bt,btc->bc", alpha, x)
+
+    def _step(self, x, x_proj, state, y_prev):
+        context = self._attend(x, x_proj, state)
+        y_emb = self.tgt_embedding(y_prev)
+        state, out = self.gru(state, jnp.concatenate([y_emb, context], axis=-1))
+        return state, self.fc(out)
+
+    def __call__(self, x, targets):
+        """Teacher-forced training: returns [B, max_len, num_classes] logits."""
+        b = x.shape[0]
+        x_proj = self.x_embed(x)
+        state = jnp.zeros((b, self.s_dim), x.dtype)
+        bos = jnp.full((b,), self.num_classes, jnp.int32)
+
+        def body(state, t):
+            y_prev = jnp.where(t == 0, bos, targets[:, jnp.maximum(t - 1, 0)])
+            state, logits = self._step(x, x_proj, state, y_prev)
+            return state, logits
+
+        _, logits = jax.lax.scan(body, state, jnp.arange(self.max_len_labels))
+        return logits.transpose(1, 0, 2)
+
+    def sample(self, x):
+        """Greedy inference: returns (probs [B, T, C], ids [B, T])."""
+        b = x.shape[0]
+        x_proj = self.x_embed(x)
+        state = jnp.zeros((b, self.s_dim), x.dtype)
+        bos = jnp.full((b,), self.num_classes, jnp.int32)
+
+        def body(carry, _):
+            state, y_prev = carry
+            state, logits = self._step(x, x_proj, state, y_prev)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            return (state, pred), (probs, pred)
+
+        _, (probs, ids) = jax.lax.scan(
+            body, (state, bos), None, length=self.max_len_labels
+        )
+        return probs.transpose(1, 0, 2), ids.transpose(1, 0)

@@ -1,0 +1,374 @@
+"""Autoregressive transformer text decoder (Flax).
+
+Parity targets:
+
+* `TFDecoder` — 6-layer transformer decoder with char embedding over
+  ``num_classes + 1`` symbols (BOS is the last id), sinusoid positional
+  encoding, causal + length masks, teacher-forced training pass
+  (reference: models/decoder.py:107-222) and greedy / beam-search
+  inference (models/decoder.py:224-370),
+* `TransformerDecoderLayer` (self-attn -> cross-attn -> FFN, pre-LN;
+  models/transformer_layer.py:47-118) and its `MultiHeadAttention`
+  (models/transformer_layer.py:204-281),
+* decoder size variants (`small_tf_decoder`, `corres_*_tf_decoder`;
+  models/decoder.py:13-73).
+
+TPU-native redesign: the reference's greedy decode re-runs the full
+decoder on the whole prefix at every step with no cache
+(models/decoder.py:233-247).  Here inference is a `lax.scan` over steps
+with per-layer KV caches; the cross-attention K/V are projected once per
+sequence.  With causal masking this is mathematically identical to the
+reference's recompute (verified numerically in tests/test_decoder.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dig_tpu.models.layers import make_causal_mask, make_pad_mask, sinusoid_position_table
+from dig_tpu.ops.attention import multi_head_attention
+
+
+class DecoderMHA(nn.Module):
+    """Separate-q/k/v multi-head attention
+    (reference: models/transformer_layer.py:204-281)."""
+
+    n_head: int = 8
+    d_k: int = 64
+    d_v: int = 64
+    d_model: int = 512
+    dropout: float = 0.1
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        dim_k, dim_v = self.n_head * self.d_k, self.n_head * self.d_v
+        self.linear_q = nn.Dense(dim_k, use_bias=self.qkv_bias, dtype=self.dtype)
+        self.linear_k = nn.Dense(dim_k, use_bias=self.qkv_bias, dtype=self.dtype)
+        self.linear_v = nn.Dense(dim_v, use_bias=self.qkv_bias, dtype=self.dtype)
+        self.fc = nn.Dense(self.d_model, use_bias=self.qkv_bias, dtype=self.dtype)
+        self.attn_drop = nn.Dropout(self.dropout)
+        self.proj_drop = nn.Dropout(self.dropout)
+
+    def project_q(self, q_inp):
+        b, lq, _ = q_inp.shape
+        return self.linear_q(q_inp).reshape(b, lq, self.n_head, self.d_k)
+
+    def project_kv(self, k_inp, v_inp):
+        b, lk, _ = k_inp.shape
+        k = self.linear_k(k_inp).reshape(b, lk, self.n_head, self.d_k)
+        v = self.linear_v(v_inp).reshape(b, lk, self.n_head, self.d_v)
+        return k, v
+
+    def attend(self, q, k, v, mask=None, deterministic: bool = True):
+        """q [B, Lq, H, Dk]; k/v [B, Lk, H, D*]; mask broadcastable to
+        [B, H, Lq, Lk] (True = attend)."""
+        b, lq = q.shape[:2]
+        qh = q.transpose(0, 2, 1, 3)
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+        if self.dropout > 0.0 and not deterministic:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh * (self.d_k**-0.5), kh)
+            logits = logits.astype(jnp.float32)
+            if mask is not None:
+                logits = jnp.where(mask, logits, -1e30)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            weights = self.attn_drop(weights, deterministic=False)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
+        else:
+            out = multi_head_attention(qh, kh, vh, mask=mask, scale=self.d_k**-0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, self.n_head * self.d_v)
+        out = self.fc(out)
+        return self.proj_drop(out, deterministic=deterministic)
+
+    def __call__(self, q, k, v, mask=None, deterministic: bool = True):
+        qp = self.project_q(q)
+        kp, vp = self.project_kv(k, v)
+        return self.attend(qp, kp, vp, mask, deterministic)
+
+
+class PositionwiseFeedForward(nn.Module):
+    """Two-layer FFN (reference: models/transformer_layer.py:386-403)."""
+
+    d_inner: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        d_in = x.shape[-1]
+        x = nn.Dense(self.d_inner, dtype=self.dtype, name="w_1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(d_in, dtype=self.dtype, name="w_2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Pre-LN: self-attn -> cross-attn -> FFN with residuals
+    (reference: models/transformer_layer.py:47-118)."""
+
+    d_model: int = 512
+    d_inner: int = 256
+    n_head: int = 8
+    d_k: int = 64
+    d_v: int = 64
+    dropout: float = 0.1
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        mk = dict(
+            n_head=self.n_head, d_k=self.d_k, d_v=self.d_v, d_model=self.d_model,
+            dropout=self.dropout, qkv_bias=self.qkv_bias, dtype=self.dtype,
+        )
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.self_attn = DecoderMHA(**mk)
+        self.enc_attn = DecoderMHA(**mk)
+        self.mlp = PositionwiseFeedForward(
+            d_inner=self.d_inner, dropout=self.dropout, dtype=self.dtype
+        )
+
+    def __call__(self, x, enc_output, self_attn_mask=None, dec_enc_attn_mask=None,
+                 deterministic: bool = True):
+        sa_out = self.self_attn(
+            self.norm1(x), self.norm1(x), self.norm1(x), self_attn_mask, deterministic
+        )
+        x = x + sa_out
+        ca_out = self.enc_attn(
+            self.norm2(x), enc_output, enc_output, dec_enc_attn_mask, deterministic
+        )
+        x = x + ca_out
+        x = x + self.mlp(self.norm3(x), deterministic)
+        return x
+
+    # ---- cached decode path -------------------------------------------------
+
+    def prepare_cross_kv(self, enc_output):
+        return self.enc_attn.project_kv(enc_output, enc_output)
+
+    def decode_step(self, x_t, t, self_k, self_v, cross_k, cross_v):
+        """One token step.  x_t [B, 1, C]; self_k/v [B, T, H, D] rolling
+        caches; returns (out [B, 1, C], new_self_k, new_self_v)."""
+        sa_in = self.norm1(x_t)
+        q = self.self_attn.project_q(sa_in)
+        k_new, v_new = self.self_attn.project_kv(sa_in, sa_in)
+        self_k = jax.lax.dynamic_update_slice(self_k, k_new, (0, t, 0, 0))
+        self_v = jax.lax.dynamic_update_slice(self_v, v_new, (0, t, 0, 0))
+        t_max = self_k.shape[1]
+        mask = (jnp.arange(t_max) <= t)[None, None, None, :]
+        sa_out = self.self_attn.attend(q, self_k, self_v, mask)
+        x = x_t + sa_out
+        cq = self.enc_attn.project_q(self.norm2(x))
+        ca_out = self.enc_attn.attend(cq, cross_k, cross_v)
+        x = x + ca_out
+        x = x + self.mlp(self.norm3(x))
+        return x, self_k, self_v
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    probs: jnp.ndarray  # [B, T, num_classes] per-step softmax (greedy) or ones
+    ids: jnp.ndarray  # [B, T] predicted ids
+
+
+class TFDecoder(nn.Module):
+    """Transformer decoder with teacher-forced training and KV-cached
+    greedy/beam inference."""
+
+    num_classes: int = 97
+    n_layers: int = 6
+    d_embedding: int = 512
+    n_head: int = 8
+    d_k: int = 64
+    d_v: int = 64
+    d_model: int = 512
+    d_inner: int = 256
+    n_position: int = 200
+    dropout: float = 0.1
+    max_seq_len: int = 25
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def start_idx(self) -> int:
+        return self.num_classes  # BOS id, one past the vocabulary
+
+    def setup(self):
+        self.trg_word_emb = nn.Embed(
+            self.num_classes + 1, self.d_embedding,
+            embedding_init=nn.initializers.normal(stddev=1.0), dtype=self.dtype,
+        )
+        self.position_table = sinusoid_position_table(self.n_position, self.d_embedding)
+        self.dropout_layer = nn.Dropout(self.dropout)
+        self.layer_stack = [
+            TransformerDecoderLayer(
+                d_model=self.d_model, d_inner=self.d_inner, n_head=self.n_head,
+                d_k=self.d_k, d_v=self.d_v, dropout=self.dropout, dtype=self.dtype,
+                name=f"layers_{i}",
+            )
+            for i in range(self.n_layers)
+        ]
+        self.layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.classifier = nn.Dense(self.num_classes, dtype=self.dtype)
+
+    # ---- shared -------------------------------------------------------------
+
+    def _embed(self, trg_seq, deterministic: bool = True):
+        emb = self.trg_word_emb(trg_seq)
+        pos = jnp.asarray(self.position_table[:, : trg_seq.shape[1]], emb.dtype)
+        return self.dropout_layer(emb + pos, deterministic=deterministic)
+
+    def _run_layers(self, tgt, enc_output, self_attn_mask, deterministic: bool = True):
+        x = tgt
+        for layer in self.layer_stack:
+            x = layer(x, enc_output, self_attn_mask, None, deterministic)
+        return self.layer_norm(x)
+
+    # ---- training -----------------------------------------------------------
+
+    def __call__(self, enc_output, targets, tgt_lens, deterministic: bool = False):
+        """Teacher-forced pass (reference: models/decoder.py:196-222):
+        queries are [BOS] + targets shifted right; returns [B, T, C] logits."""
+        b, t = targets.shape
+        bos = jnp.full((b, 1), self.start_idx, dtype=targets.dtype)
+        query = jnp.concatenate([bos, targets], axis=-1)[:, :-1]
+        mask = make_pad_mask(tgt_lens, t) & make_causal_mask(t)  # [B, L, L]
+        mask = mask[:, None, :, :]
+        tgt = self._embed(query, deterministic)
+        out = self._run_layers(tgt, enc_output, mask, deterministic)
+        return self.classifier(out)
+
+    # ---- greedy decode (KV-cached scan) --------------------------------------
+
+    def _init_caches(self, batch: int, t_max: int, dtype):
+        shapes = []
+        for _ in range(self.n_layers):
+            k = jnp.zeros((batch, t_max, self.n_head, self.d_k), dtype)
+            v = jnp.zeros((batch, t_max, self.n_head, self.d_v), dtype)
+            shapes.append((k, v))
+        return shapes
+
+    def decode_step(self, tokens_t, t, self_caches, cross_kvs):
+        """One greedy step.  tokens_t [B] int ids; returns per-class softmax
+        and updated caches."""
+        x = self.trg_word_emb(tokens_t[:, None])
+        pos = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(self.position_table, x.dtype), t, 1, axis=1
+        )
+        x = x + pos
+        new_caches = []
+        for layer, (sk, sv), (ck, cv) in zip(self.layer_stack, self_caches, cross_kvs):
+            x, sk, sv = layer.decode_step(x, t, sk, sv, ck, cv)
+            new_caches.append((sk, sv))
+        x = self.layer_norm(x)
+        logits = self.classifier(x[:, 0])
+        return logits, new_caches
+
+    def prepare_cross(self, enc_output):
+        return [layer.prepare_cross_kv(enc_output) for layer in self.layer_stack]
+
+    def greedy_decode(self, enc_output):
+        """[B, N, C] encoder map -> per-step softmax [B, T, num_classes] and
+        greedy ids, matching forward_test semantics
+        (models/decoder.py:224-252) with a KV-cached scan."""
+        b = enc_output.shape[0]
+        t_max = self.max_seq_len
+        cross_kvs = self.prepare_cross(enc_output)
+        caches = self._init_caches(b, t_max, enc_output.dtype)
+
+        def body(carry, t):
+            tokens, caches = carry
+            logits, caches = self.decode_step(tokens, t, caches, cross_kvs)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            nxt = jnp.argmax(probs, axis=-1).astype(tokens.dtype)
+            return (nxt, caches), (probs, nxt)
+
+        bos = jnp.full((b,), self.start_idx, dtype=jnp.int32)
+        (_, _), (probs, ids) = jax.lax.scan(body, (bos, caches), jnp.arange(t_max))
+        probs = probs.transpose(1, 0, 2)  # [B, T, C]
+        ids = ids.transpose(1, 0)
+        return probs, ids
+
+    # ---- beam search ----------------------------------------------------------
+
+    def beam_search(self, enc_output, beam_width: int, eos: int = 94):
+        """Jittable beam search with KV-cache beam reordering; semantics
+        follow the reference (models/decoder.py:254-370): length-unnormalized
+        log-prob scores, EOS freezes a beam (its score stops accumulating).
+        Returns ids [B, T]."""
+        b, n, c = enc_output.shape
+        k = beam_width
+        enc = jnp.repeat(enc_output, k, axis=0)  # beams contiguous per sample
+        cross_kvs = self.prepare_cross(enc)
+        caches = self._init_caches(b * k, self.max_seq_len, enc.dtype)
+
+        neg_inf = jnp.float32(-1e30)
+        # only beam 0 of each sample is live at step 0
+        scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, neg_inf)
+        finished = jnp.zeros((b * k,), bool)
+        tokens = jnp.full((b * k,), self.start_idx, dtype=jnp.int32)
+        seqs = jnp.zeros((b * k, self.max_seq_len), jnp.int32)
+
+        def reorder(tree, idx):
+            return jax.tree_util.tree_map(lambda a: a[idx], tree)
+
+        def body(carry, t):
+            tokens, scores, finished, seqs, caches = carry
+            logits, caches = self.decode_step(tokens, t, caches, cross_kvs)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            # finished beams keep their score on a single continuation (EOS)
+            cont = jnp.where(
+                finished[:, None],
+                jnp.where(jnp.arange(self.num_classes)[None, :] == eos, 0.0, neg_inf),
+                logp,
+            )
+            cand = scores[:, None] + cont  # [b*k, C]
+            cand = cand.reshape(b, k * self.num_classes)
+            top_scores, top_idx = jax.lax.top_k(cand, k)
+            beam_idx = top_idx // self.num_classes  # [b, k] within-sample beam
+            sym = (top_idx % self.num_classes).astype(jnp.int32)
+            flat_beam = (beam_idx + jnp.arange(b)[:, None] * k).reshape(-1)
+            seqs = seqs[flat_beam].at[:, t].set(sym.reshape(-1))
+            caches = reorder(caches, flat_beam)
+            finished = finished[flat_beam] | (sym.reshape(-1) == eos)
+            return (sym.reshape(-1), top_scores.reshape(-1), finished, seqs, caches), None
+
+        (tokens, scores, finished, seqs, caches), _ = jax.lax.scan(
+            body, (tokens, scores, finished, seqs, caches), jnp.arange(self.max_seq_len)
+        )
+        # best beam per sample
+        best = jnp.argmax(scores.reshape(b, k), axis=-1)
+        seqs = seqs.reshape(b, k, self.max_seq_len)[jnp.arange(b), best]
+        return seqs
+
+
+def create_decoder(decoder_name: str, num_classes: int, max_len: int,
+                   encoder_dim: int = 384, dtype=jnp.float32) -> TFDecoder:
+    """Decoder factory mirroring `create_decoder`
+    (reference: models/decoder.py:13-73)."""
+    common = dict(num_classes=num_classes, max_seq_len=max_len, dtype=dtype)
+    if decoder_name == "tf_decoder":
+        return TFDecoder(**common)
+    if decoder_name == "small_tf_decoder":
+        return TFDecoder(
+            n_layers=2, d_embedding=384, n_head=6, d_k=64, d_v=64,
+            d_model=384, d_inner=192, **common,
+        )
+    if decoder_name in ("corres_tiny_tf_decoder", "corres_small_tf_decoder",
+                        "corres_base_tf_decoder"):
+        dim = {"corres_tiny_tf_decoder": 192, "corres_small_tf_decoder": 384,
+               "corres_base_tf_decoder": 512}[decoder_name]
+        return TFDecoder(
+            n_layers=6, d_embedding=dim, n_head=8, d_model=dim, d_inner=dim * 4,
+            d_k=dim // 8, d_v=dim // 8, **common,
+        )
+    raise KeyError(f"unknown decoder '{decoder_name}'")

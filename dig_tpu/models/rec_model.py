@@ -1,0 +1,192 @@
+"""Recognition models: ViT encoder + text decoder heads (Flax).
+
+Parity targets (reference: models/model_builder.py):
+
+* `RecModel` — encoder -> linear_norm (Dense + LayerNorm into the decoder
+  width, :85-88) -> transformer decoder; eval switches to greedy/beam
+  decoding (:137-139, :151-158); optional 1-D feature collapse (mean over
+  the height axis, :146-148),
+* `CTCRecModel` — encoder -> height-mean -> MLP ctc classifier with
+  ``nb_classes + 1`` outputs (blank last; :8-38),
+* `AttnRecModel` — encoder -> GRU additive-attention head (:40-72;
+  models/attn_decoder.py),
+* `MimRecModel` — fine-tuning with an auxiliary masked-image-modeling
+  branch (:204-290).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dig_tpu.models.attn_decoder import AttentionRecognitionHead
+from dig_tpu.models.decoder import TFDecoder, create_decoder
+from dig_tpu.models.registry import create_model
+from dig_tpu.models.vit import VisionTransformer
+
+
+class LinearNorm(nn.Module):
+    """Dense + LayerNorm bridge into the decoder width
+    (reference: models/model_builder.py:85-88)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="dense")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+class RecModel(nn.Module):
+    encoder: nn.Module
+    decoder: TFDecoder
+    use_1d_attdec: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.linear_norm = LinearNorm(self.decoder.d_embedding, dtype=self.dtype)
+
+    def _encode(self, images, deterministic):
+        enc = self.encoder(images, deterministic=deterministic)
+        if self.use_1d_attdec:
+            b, n, c = enc.shape
+            gh, gw = self.encoder.patch_shape
+            enc = enc.reshape(b, gh, gw, c).mean(axis=1)
+        return self.linear_norm(enc)
+
+    def __call__(self, images, targets, tgt_lens, deterministic: bool = False):
+        """Teacher-forced training pass -> [B, T, num_classes] logits."""
+        dec_in = self._encode(images, deterministic)
+        return self.decoder(dec_in, targets, tgt_lens, deterministic=deterministic)
+
+    def recognize(self, images, beam_width: int = 0, eos: int = 94):
+        """Inference: greedy (KV-cached scan) or beam search.
+        Returns (probs [B, T, C] or None, ids [B, T])."""
+        dec_in = self._encode(images, True)
+        if beam_width > 0:
+            ids = self.decoder.beam_search(dec_in, beam_width, eos)
+            return None, ids
+        probs, ids = self.decoder.greedy_decode(dec_in)
+        return probs, ids
+
+
+class CTCRecModel(nn.Module):
+    encoder: nn.Module
+    nb_classes: int = 97
+    d_embedding: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, deterministic: bool = True):
+        enc = self.encoder(images, deterministic=deterministic)
+        b, n, c = enc.shape
+        gh, gw = self.encoder.patch_shape
+        x = enc.reshape(b, gh, gw, c).mean(axis=1)
+        x = nn.Dense(self.d_embedding, dtype=self.dtype, name="fc0")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.nb_classes + 1, dtype=self.dtype, name="fc1")(x)
+
+
+class AttnRecModel(nn.Module):
+    encoder: nn.Module
+    nb_classes: int = 97
+    max_len: int = 25
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.decoder = AttentionRecognitionHead(
+            num_classes=self.nb_classes, s_dim=512, att_dim=512,
+            max_len_labels=self.max_len, dtype=self.dtype,
+        )
+
+    def __call__(self, images, targets, tgt_lens, deterministic: bool = False):
+        enc = self.encoder(images, deterministic=deterministic)
+        return self.decoder(enc, targets)
+
+    def recognize(self, images, beam_width: int = 0, eos: int = 94):
+        enc = self.encoder(images, deterministic=True)
+        probs, ids = self.decoder.sample(enc)
+        return probs, ids
+
+
+class MimRecModel(nn.Module):
+    """Fine-tuning with an auxiliary MIM pixel branch
+    (reference: models/model_builder.py:204-290)."""
+
+    encoder: nn.Module
+    decoder: TFDecoder
+    use_mim_proj: bool = False
+    pix_dim: int = 192
+    pix_classes: int = 48
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.linear_norm = LinearNorm(self.decoder.d_embedding, dtype=self.dtype)
+        self.pix_encoder_to_decoder = nn.Dense(self.pix_dim, use_bias=False, dtype=self.dtype)
+        self.pix_head = nn.Sequential([
+            nn.Dense(self.pix_dim, use_bias=False, dtype=self.dtype),
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype),
+            lambda x: nn.gelu(x, approximate=False),
+            nn.Dense(self.pix_classes, dtype=self.dtype),
+        ])
+        if self.use_mim_proj:
+            dim = self.encoder.embed_dim
+            self.mim_proj = nn.Sequential([
+                nn.Dense(dim * 2, dtype=self.dtype),
+                nn.LayerNorm(epsilon=1e-6, dtype=self.dtype),
+                lambda x: nn.gelu(x, approximate=False),
+                nn.Dense(dim, dtype=self.dtype),
+                nn.LayerNorm(epsilon=1e-6, dtype=self.dtype),
+            ])
+
+    def __call__(self, images, targets, tgt_lens, mask=None, num_mim_samples: int = 0,
+                 deterministic: bool = False):
+        out = {}
+        enc = self.encoder(images, mask, deterministic=deterministic)
+        rec_in = enc
+        if mask is not None:
+            out["pix_pred"] = self.pix_head(self.pix_encoder_to_decoder(enc))
+            if self.use_mim_proj and num_mim_samples > 0:
+                mim_part = self.mim_proj(enc[:num_mim_samples])
+                rec_in = jnp.concatenate([mim_part, enc[num_mim_samples:]], axis=0)
+        dec_in = self.linear_norm(rec_in)
+        out["rec_pred"] = self.decoder(dec_in, targets, tgt_lens, deterministic=deterministic)
+        return out
+
+
+def build_rec_model(
+    model_name: str = "vit_small_patch4_32x128",
+    decoder_name: str = "tf_decoder",
+    nb_classes: int = 97,
+    max_len: int = 25,
+    drop_rate: float = 0.0,
+    attn_drop_rate: float = 0.0,
+    drop_path_rate: float = 0.0,
+    use_1d_attdec: bool = False,
+    use_mean_pooling: bool = True,
+    dtype=jnp.float32,
+    model_kind: str = "rec",  # rec | ctc | attn
+) -> nn.Module:
+    """Model factory mirroring the reference's encoder/decoder assembly
+    (run_class_finetuning.py:344-356, models/encoder.py:6-20)."""
+    encoder = create_model(
+        model_name,
+        drop_rate=drop_rate,
+        attn_drop_rate=attn_drop_rate,
+        drop_path_rate=drop_path_rate,
+        use_mean_pooling=use_mean_pooling,
+        return_feat_map=True,
+        dtype=dtype,
+    )
+    if model_kind == "ctc":
+        return CTCRecModel(encoder=encoder, nb_classes=nb_classes, dtype=dtype)
+    if model_kind == "attn":
+        return AttnRecModel(encoder=encoder, nb_classes=nb_classes, max_len=max_len, dtype=dtype)
+    decoder = create_decoder(decoder_name, nb_classes, max_len,
+                             encoder_dim=encoder.embed_dim, dtype=dtype)
+    return RecModel(encoder=encoder, decoder=decoder, use_1d_attdec=use_1d_attdec, dtype=dtype)

@@ -1,0 +1,10 @@
+"""Test harness: force an 8-device CPU backend so data-parallel sharding,
+all-gather negatives and per-host pipelines are exercised without TPUs
+(JAX's standard fake-backend trick; see SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
