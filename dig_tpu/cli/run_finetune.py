@@ -1,0 +1,263 @@
+"""Fine-tuning / evaluation entry point for scene-text recognition.
+
+CLI-compatible with the reference launch (README.md:91-153):
+
+    python -m dig_tpu.cli.run_finetune \
+        --batch_size 256 --epochs 10 --warmup_epochs 1 \
+        --model vit_small_patch4_32x128 --decoder_name tf_decoder \
+        --use_abi_aug --nb_classes 97 --max_len 25 \
+        --finetune checkpoint.pth --data_path ... --eval_data_path ...
+
+Eval-only multi-benchmark sweep: pass --eval plus
+--other_test_data_folders bench1 bench2 ... (run_class_finetuning.py:557-580).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dig_tpu.config import FinetuneConfig, config_to_json, parse_config
+from dig_tpu.data.dataset import build_dataset
+from dig_tpu.data.pipeline import DataLoader
+from dig_tpu.data.samplers import ShardedSampler
+from dig_tpu.metrics.text import accuracy as word_accuracy
+from dig_tpu.metrics.text import recognition_f_measure
+from dig_tpu.models.rec_model import build_rec_model
+from dig_tpu.optim import make_optimizer
+from dig_tpu.parallel.mesh import create_mesh, shard_batch
+from dig_tpu.train.finetune import init_finetune_state, make_eval_step, make_finetune_step
+from dig_tpu.train.state import TrainState
+from dig_tpu.utils.charset import build_charset
+from dig_tpu.utils.checkpoint import (
+    auto_resume,
+    convert_torch_encoder,
+    load_torch_checkpoint,
+    merge_pretrained_encoder,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from dig_tpu.utils.logging import JsonlLogger, ScreenTee, TensorboardLogger, is_main_process
+from dig_tpu.utils.metric_logger import MetricLogger
+from dig_tpu.utils.schedules import cosine_schedule
+
+
+def build_model(cfg: FinetuneConfig):
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    return build_rec_model(
+        model_name=cfg.model,
+        decoder_name=cfg.decoder_name,
+        nb_classes=cfg.nb_classes,
+        max_len=cfg.max_len,
+        drop_rate=cfg.drop,
+        attn_drop_rate=cfg.attn_drop_rate,
+        drop_path_rate=cfg.drop_path,
+        use_1d_attdec=cfg.use_1d_attdec,
+        use_mean_pooling=cfg.use_mean_pooling,
+        dtype=dtype,
+    )
+
+
+def load_finetune_init(cfg: FinetuneConfig, state: TrainState) -> TrainState:
+    """--finetune checkpoint surgery: accepts a reference .pth (converted
+    tensor-by-tensor) or a dig_tpu Orbax checkpoint (SSL tree grafted
+    onto the recognizer encoder)."""
+    path = cfg.finetune
+    if path.endswith(".pth") or path.endswith(".pt"):
+        sd = load_torch_checkpoint(path)
+        enc_tree = convert_torch_encoder(sd, prefix="encoder.")
+        params = merge_pretrained_encoder(state.params, enc_tree)
+    else:
+        payload = restore_checkpoint(path)
+        src = payload["params"].get("encoder", payload["params"])
+        params = merge_pretrained_encoder(state.params, src)
+    return state.replace(params=params)
+
+
+def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset):
+    """Greedy/beam decode over one benchmark LMDB; pads the last partial
+    batch to keep shapes static (reference pads via sampler at
+    run_class_finetuning.py:298-306)."""
+    ds = build_dataset(data_path, is_train=False, voc_type=cfg.voc_type,
+                       max_len=cfg.max_len, img_height=cfg.input_h,
+                       img_width=cfg.input_w)
+    rank, world = jax.process_index(), jax.process_count()
+    sampler = ShardedSampler(len(ds), rank=rank, world=world, shuffle=False)
+    # per-host batch covering all local devices (divisible by the mesh)
+    bs = cfg.batch_size * (jax.device_count() // world)
+    loader = DataLoader(ds, sampler, batch_size=bs, num_workers=cfg.num_workers,
+                        drop_last=False)
+    n_correct, n_total, f_sum, loss_sum = 0, 0, 0.0, 0.0
+    for images, targets, lens in loader:
+        n = images.shape[0]
+        if n < bs:  # pad to static shape
+            pad = bs - n
+            images = np.concatenate([images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+            targets = np.concatenate([targets, np.zeros((pad, targets.shape[1]), targets.dtype)])
+            lens = np.concatenate([lens, np.ones((pad,), lens.dtype)])
+        batch = {"images": jnp.asarray(images), "targets": jnp.asarray(targets),
+                 "lengths": jnp.asarray(lens)}
+        ids, loss = eval_fn(params, batch)
+        ids = np.asarray(ids)[:n]
+        acc = word_accuracy(ids, targets[:n], charset)
+        f = recognition_f_measure(ids, targets[:n], charset)
+        n_correct += acc * n
+        n_total += n
+        f_sum += f * n
+        loss_sum += float(loss) * n
+    acc = n_correct / max(n_total, 1)
+    print(f"* {data_path}: {n_total} images, Acc {acc:.4f} "
+          f"loss {loss_sum / max(n_total, 1):.4f} "
+          f"Rec_fmeasure {f_sum / max(n_total, 1):.4f}")
+    return {"acc": acc, "n": n_total, "fmeasure": f_sum / max(n_total, 1)}
+
+
+def main(cfg: FinetuneConfig):
+    if is_main_process() and cfg.output_dir:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        ScreenTee(cfg.output_dir).install()
+    print(config_to_json(cfg))
+
+    n_devices = jax.device_count()
+    cfg.finalize(n_devices)
+    mesh = create_mesh(n_fsdp=cfg.n_fsdp, n_tensor=cfg.n_tensor)
+    charset = build_charset(cfg.voc_type, cfg.max_len)
+    assert charset.num_classes == cfg.nb_classes, (
+        charset.num_classes, cfg.nb_classes)
+
+    model = build_model(cfg)
+    eval_fn = make_eval_step(model, beam_width=cfg.beam_width, eos=charset.eos_id,
+                             mesh=mesh)
+
+    if cfg.eval:
+        # eval-only sweep over benchmarks
+        tx = make_optimizer(np.array([0.0], np.float32))
+        state = init_finetune_state(model, tx, jax.random.PRNGKey(cfg.seed),
+                                    max_len=cfg.max_len)
+        if cfg.finetune:
+            state = load_finetune_init(cfg, state)
+        elif cfg.resume:
+            payload = restore_checkpoint(cfg.resume)
+            state = state.replace(params=payload["params"])
+        paths = [p for p in [cfg.eval_data_path] + list(cfg.other_test_data_folders) if p]
+        results = [
+            dict(path=p, **evaluate_benchmark(cfg, model, state.params, p, eval_fn, charset))
+            for p in paths
+        ]
+        total = sum(r["n"] for r in results)
+        avg = sum(r["acc"] * r["n"] for r in results) / max(total, 1)
+        print(f"average word accuracy over {len(results)} benchmarks: {avg:.4f}")
+        return results
+
+    rank, world = jax.process_index(), jax.process_count()
+    rng = np.random.default_rng(cfg.seed + rank)
+    train_ds = build_dataset(
+        cfg.data_path, is_train=True, voc_type=cfg.voc_type, max_len=cfg.max_len,
+        num_samples=cfg.num_samples, use_aug=cfg.num_view > 1,
+        use_abi_aug=cfg.use_abi_aug, img_height=cfg.input_h, img_width=cfg.input_w,
+        rng=rng,
+    )
+    local_batch = cfg.batch_size * (n_devices // world)
+    sampler = ShardedSampler(len(train_ds), rank=rank, world=world, seed=cfg.seed)
+    loader = DataLoader(train_ds, sampler, batch_size=local_batch,
+                        num_workers=cfg.num_workers)
+    steps_per_epoch = len(loader) // cfg.update_freq
+    print(f"train: {len(train_ds)} imgs, {steps_per_epoch} steps/epoch")
+
+    lr_sched = cosine_schedule(
+        cfg.absolute_lr, cfg.min_lr, cfg.epochs, steps_per_epoch,
+        warmup_epochs=cfg.warmup_epochs, start_warmup_value=cfg.warmup_lr,
+        warmup_steps=cfg.warmup_steps,
+    )
+    wd_sched = cosine_schedule(cfg.weight_decay, cfg.weight_decay_end,
+                               cfg.epochs, steps_per_epoch)
+    from dig_tpu.optim import frozen_encoder_mask
+
+    tx = make_optimizer(
+        lr_sched, wd_sched, betas=cfg.opt_betas, eps=cfg.opt_eps,
+        clip_grad=cfg.clip_grad, layer_decay=cfg.layer_decay,
+        num_layers=model.encoder.depth,
+        frozen=frozen_encoder_mask(cfg.fixed_encoder_layers)
+        if cfg.fixed_encoder_layers > 0 else None,
+    )
+    state = init_finetune_state(model, tx, jax.random.PRNGKey(cfg.seed),
+                                max_len=cfg.max_len)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"params: {n_params / 1e6:.2f} M")
+
+    if cfg.finetune:
+        state = load_finetune_init(cfg, state)
+    start_epoch = cfg.start_epoch
+    if cfg.auto_resume and not cfg.resume:
+        state, extra = auto_resume(cfg.output_dir, state)
+        if extra is not None:
+            start_epoch = int(extra.get("epoch", -1)) + 1
+
+    step_fn = make_finetune_step(model, smoothing=cfg.smoothing, mesh=mesh)
+    tb = TensorboardLogger(cfg.log_dir or os.path.join(cfg.output_dir, "tb"))
+    jsonl = JsonlLogger(cfg.output_dir)
+    step_rng = jax.random.PRNGKey(cfg.seed + 1)
+    print_freq = 100
+    max_accuracy = 0.0
+
+    for epoch in range(start_epoch, cfg.epochs):
+        sampler.set_epoch(epoch)
+        logger = MetricLogger()
+        for it, (images, targets, lens) in enumerate(
+            logger.log_every(loader, print_freq, f"Epoch: [{epoch}]",
+                             total=steps_per_epoch)
+        ):
+            batch = shard_batch(mesh, {
+                "images": images, "targets": targets, "lengths": lens,
+            })
+            step_rng, sub = jax.random.split(step_rng)
+            state, metrics, pred_ids = step_fn(state, batch, sub)
+            if it % print_freq == 0 or it == steps_per_epoch - 1:
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                if not math.isfinite(host_metrics["loss"]):
+                    print(f"Loss is {host_metrics['loss']}, stopping training")
+                    sys.exit(1)
+                host_metrics["class_acc"] = word_accuracy(
+                    np.asarray(pred_ids), targets, charset)
+                logger.update(**host_metrics)
+                tb.update(head="loss", step=int(state.step), **host_metrics)
+            if (cfg.eval_freq and it >= 1 and it % cfg.eval_freq == 0
+                    and cfg.eval_data_path):
+                stats = evaluate_benchmark(cfg, model, state.params,
+                                           cfg.eval_data_path, eval_fn, charset)
+                if stats["acc"] > max_accuracy:
+                    max_accuracy = stats["acc"]
+                    if cfg.output_dir and cfg.save_ckpt:
+                        save_checkpoint(cfg.output_dir, "best", state,
+                                        extra={"epoch": epoch, "acc": stats["acc"]})
+        print("Averaged stats:", logger)
+        stats = {}
+        if cfg.eval_data_path:
+            stats = evaluate_benchmark(cfg, model, state.params,
+                                       cfg.eval_data_path, eval_fn, charset)
+            if stats["acc"] > max_accuracy:
+                max_accuracy = stats["acc"]
+                if cfg.output_dir and cfg.save_ckpt:
+                    save_checkpoint(cfg.output_dir, "best", state,
+                                    extra={"epoch": epoch, "acc": stats["acc"]})
+        if cfg.output_dir and cfg.save_ckpt and (
+            (epoch + 1) % cfg.save_ckpt_freq == 0 or epoch + 1 == cfg.epochs
+        ):
+            save_checkpoint(cfg.output_dir, epoch, state, extra={"epoch": epoch})
+        jsonl.write(
+            epoch=epoch,
+            **{f"train_{k}": m.global_avg for k, m in logger.meters.items()},
+            val_acc=stats.get("acc"), max_accuracy=max_accuracy,
+        )
+    print(f"max accuracy: {max_accuracy:.4f}")
+    tb.flush()
+    return state
+
+
+if __name__ == "__main__":
+    main(parse_config(FinetuneConfig))

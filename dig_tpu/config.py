@@ -1,0 +1,216 @@
+"""Typed configuration with a flag-compatible CLI shim.
+
+The reference's entire config system is argparse (~90 flags in the
+pretrain CLI, run_mae_pretraining_moco.py:40-275; ~80 in finetune,
+run_class_finetuning.py:43-255) and the parsed namespace is pickled into
+every checkpoint.  Here the configs are dataclasses; `add_cli_args` /
+`from_cli` preserve the documented flag names so the README launch
+commands translate 1:1.  Derived values (window size, linearly scaled
+LR) are computed in `finalize()` like the reference's main() does
+(run_mae_pretraining_moco.py:322-323, :382).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class PretrainConfig:
+    # model
+    model: str = "pretrain_simmim_moco_ori_vit_small_patch4_32x128"
+    input_h: int = 32
+    input_w: int = 128
+    patch_size: int = 4
+    drop_path: float = 0.0
+    normlize_target: bool = True  # (sic — reference flag spelling)
+    # masking / views
+    mask_ratio: float = 0.7
+    num_view: int = 2
+    # moco
+    moco_dim: int = 256
+    moco_mlp_dim: int = 4096
+    moco_m: float = 0.99
+    use_moco_m_cos: bool = True
+    moco_t: float = 0.2
+    num_windows: int = 4
+    patchnet_name: str = "regular"
+    label_smoothing: float = 0.0
+    # loss weights
+    loss_weight_pixel: float = 1.0
+    loss_weight_contrast: float = 0.1
+    contrast_warmup_steps: int = 500
+    contrast_start_epoch: int = 0
+    only_mim_on_ori_img: bool = True
+    # optimization
+    batch_size: int = 128  # per host
+    epochs: int = 10
+    opt: str = "adamw"
+    opt_betas: Tuple[float, float] = (0.9, 0.999)
+    opt_eps: float = 1e-8
+    clip_grad: Optional[float] = None
+    weight_decay: float = 0.1
+    weight_decay_end: Optional[float] = None
+    lr: float = 1.5e-4
+    warmup_lr: float = 1e-6
+    min_lr: float = 1e-5
+    warmup_epochs: int = 0
+    warmup_steps: int = 5000
+    # data
+    image_alone_path: List[str] = dataclasses.field(default_factory=list)
+    voc_type: str = "ALLCASES_SYMBOLS"
+    max_len: int = 25
+    aloneimage_num_samples: float = float("inf")
+    num_workers: int = 10
+    # run
+    output_dir: str = "./output"
+    log_dir: Optional[str] = None
+    seed: int = 0
+    resume: str = ""
+    auto_resume: bool = True
+    start_epoch: int = 0
+    save_ckpt_freq: int = 1
+    eval_freq: int = 1000
+    dtype: str = "bfloat16"
+    # TPU-native additions
+    device_aug: bool = False  # second view + masks generated on device
+    n_fsdp: int = 1
+    n_tensor: int = 1
+
+    @property
+    def input_size(self):
+        return (self.input_h, self.input_w)
+
+    @property
+    def window_size(self):
+        return (self.input_h // self.patch_size, self.input_w // self.patch_size)
+
+    def finalize(self, num_devices: int = 1):
+        """Linear LR scaling: lr * total_batch / 256
+        (run_mae_pretraining_moco.py:382)."""
+        total_bs = self.batch_size * num_devices
+        self.absolute_lr = self.lr * total_bs / 256.0
+        if self.weight_decay_end is None:
+            self.weight_decay_end = self.weight_decay
+        return self
+
+
+@dataclasses.dataclass
+class FinetuneConfig:
+    # model
+    model: str = "vit_small_patch4_32x128"
+    decoder_name: str = "tf_decoder"
+    nb_classes: int = 97
+    max_len: int = 25
+    drop: float = 0.1
+    attn_drop_rate: float = 0.1
+    drop_path: float = 0.1
+    use_1d_attdec: bool = False
+    use_mean_pooling: bool = True
+    beam_width: int = 0
+    # recipe
+    batch_size: int = 256
+    epochs: int = 10
+    update_freq: int = 1
+    opt: str = "adamw"
+    opt_betas: Tuple[float, float] = (0.9, 0.999)
+    opt_eps: float = 1e-8
+    clip_grad: Optional[float] = None
+    weight_decay: float = 0.05
+    weight_decay_end: Optional[float] = None
+    lr: float = 1e-4
+    layer_decay: float = 1.0
+    warmup_lr: float = 1e-6
+    min_lr: float = 1e-6
+    warmup_epochs: int = 1
+    warmup_steps: int = -1
+    smoothing: float = 0.1
+    fixed_encoder_layers: int = 0
+    # init / resume
+    finetune: str = ""
+    model_key: str = "model|module"
+    model_prefix: str = ""
+    resume: str = ""
+    auto_resume: bool = True
+    start_epoch: int = 0
+    # data
+    data_path: List[str] = dataclasses.field(default_factory=list)
+    eval_data_path: str = ""
+    other_test_data_folders: List[str] = dataclasses.field(default_factory=list)
+    voc_type: str = "ALLCASES_SYMBOLS"
+    num_samples: float = float("inf")
+    num_view: int = 2
+    use_abi_aug: bool = True
+    num_workers: int = 10
+    # run
+    output_dir: str = "./output"
+    log_dir: Optional[str] = None
+    seed: int = 0
+    save_ckpt: bool = True
+    save_ckpt_freq: int = 1
+    eval_freq: int = 1000
+    eval: bool = False
+    dist_eval: bool = False
+    input_h: int = 32
+    input_w: int = 128
+    dtype: str = "bfloat16"
+    n_fsdp: int = 1
+    n_tensor: int = 1
+
+    def finalize(self, num_devices: int = 1):
+        """lr * total_batch / 256 (run_class_finetuning.py:464)."""
+        total_bs = self.batch_size * num_devices * self.update_freq
+        self.absolute_lr = self.lr * total_bs / 256.0
+        if self.weight_decay_end is None:
+            self.weight_decay_end = self.weight_decay
+        return self
+
+
+def _add_field_args(parser: argparse.ArgumentParser, cfg) -> None:
+    for f in dataclasses.fields(cfg):
+        name = "--" + f.name
+        default = getattr(cfg, f.name)
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            group = parser.add_mutually_exclusive_group()
+            group.add_argument(name, dest=f.name, action="store_true", default=default)
+            group.add_argument(
+                "--no_" + f.name, dest=f.name, action="store_false", default=default
+            )
+        elif isinstance(default, (list, tuple)) or "List" in str(f.type) or "Tuple" in str(f.type):
+            parser.add_argument(name, nargs="*", default=default)
+        elif isinstance(default, float) or default is None:
+            parser.add_argument(name, type=float, default=default)
+        elif isinstance(default, int):
+            parser.add_argument(name, type=int, default=default)
+        else:
+            parser.add_argument(name, type=str, default=default)
+
+
+def parse_config(cls, argv=None):
+    """Parse CLI args into a config dataclass; unknown flags are accepted
+    with a warning (the reference CLIs carry many dead research flags)."""
+    cfg = cls()
+    parser = argparse.ArgumentParser(cls.__name__, allow_abbrev=False)
+    _add_field_args(parser, cfg)
+    args, unknown = parser.parse_known_args(argv)
+    if unknown:
+        print(f"[config] ignoring unknown flags: {unknown}")
+    for f in dataclasses.fields(cfg):
+        val = getattr(args, f.name)
+        if isinstance(getattr(cfg, f.name), tuple) and isinstance(val, list):
+            val = tuple(float(x) for x in val)
+        if isinstance(getattr(cfg, f.name), int) and not isinstance(getattr(cfg, f.name), bool):
+            val = int(val)
+        setattr(cfg, f.name, val)
+    return cfg
+
+
+def config_to_json(cfg) -> str:
+    d = dataclasses.asdict(cfg)
+    for k, v in list(d.items()):
+        if v == float("inf"):
+            d[k] = "inf"
+    return json.dumps(d, indent=2, default=str)

@@ -1,0 +1,120 @@
+"""Threaded host input pipeline with device prefetch.
+
+Replaces torch `DataLoader(num_workers=10, pin_memory=True)` (reference:
+run_mae_pretraining_moco.py:365-372).  Decode + augmentation are
+CPU-bound but GIL-releasing (cv2, numpy), so a thread pool suffices and
+avoids process-spawn overhead; batches are assembled as contiguous numpy
+arrays and double-buffered onto the device so the TPU never waits on the
+host (HBM boundary: the only H2D copies per step happen here).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, Optional
+
+import numpy as np
+
+
+def _stack(samples):
+    """Collate a list of per-sample tuples/dicts into batched numpy arrays."""
+    first = samples[0]
+    if isinstance(first, dict):
+        return {k: np.stack([s[k] for s in samples]) for k in first}
+    if isinstance(first, (tuple, list)):
+        return tuple(np.stack([s[i] for s in samples]) for i in range(len(first)))
+    return np.stack(samples)
+
+
+class DataLoader:
+    """Minimal threaded loader: sampler -> fetch pool -> prefetch queue.
+
+    `sampler` yields either ints (then `batch_size` groups them) or lists
+    of ints (batch samplers).  Iteration order is deterministic given the
+    sampler; worker threads only parallelize the per-sample work.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        sampler: Iterable,
+        batch_size: Optional[int] = None,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        drop_last: bool = True,
+        collate: Callable = _stack,
+        to_device: Optional[Callable] = None,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.collate = collate
+        self.to_device = to_device
+
+    def _batches(self) -> Iterator[list]:
+        if self.batch_size is None:
+            yield from self.sampler
+            return
+        cur = []
+        for idx in self.sampler:
+            cur.append(idx)
+            if len(cur) == self.batch_size:
+                yield cur
+                cur = []
+        if cur and not self.drop_last:
+            yield cur
+
+    def __len__(self):
+        try:
+            n = len(self.sampler)
+        except TypeError:
+            return 0
+        if self.batch_size is None:
+            return n
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                pending = []
+                try:
+                    for batch_idx in self._batches():
+                        if stop.is_set():
+                            break
+                        fut = pool.submit(
+                            lambda ids: self.collate([self.dataset[i] for i in ids]),
+                            batch_idx,
+                        )
+                        pending.append(fut)
+                        while len(pending) >= self.prefetch:
+                            out_q.put(("ok", pending.pop(0).result()))
+                    for fut in pending:
+                        if stop.is_set():
+                            break
+                        out_q.put(("ok", fut.result()))
+                    out_q.put(("end", None))
+                except Exception as e:  # propagate into the consumer
+                    out_q.put(("err", e))
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                kind, payload = out_q.get()
+                if kind == "end":
+                    break
+                if kind == "err":
+                    raise payload
+                if self.to_device is not None:
+                    payload = self.to_device(payload)
+                yield payload
+        finally:
+            stop.set()

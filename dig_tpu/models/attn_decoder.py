@@ -46,19 +46,26 @@ class AttentionRecognitionHead(nn.Module):
         return state, self.fc(out)
 
     def __call__(self, x, targets):
-        """Teacher-forced training: returns [B, max_len, num_classes] logits."""
+        """Teacher-forced training: returns [B, max_len, num_classes] logits.
+
+        Step 0 runs unrolled (so parameter creation happens outside the
+        scan at init time); steps 1..T-1 run in a lax.scan."""
         b = x.shape[0]
         x_proj = self.x_embed(x)
         state = jnp.zeros((b, self.s_dim), x.dtype)
         bos = jnp.full((b,), self.num_classes, jnp.int32)
+        state, logits0 = self._step(x, x_proj, state, bos)
 
         def body(state, t):
-            y_prev = jnp.where(t == 0, bos, targets[:, jnp.maximum(t - 1, 0)])
-            state, logits = self._step(x, x_proj, state, y_prev)
+            state, logits = self._step(x, x_proj, state, targets[:, t - 1])
             return state, logits
 
-        _, logits = jax.lax.scan(body, state, jnp.arange(self.max_len_labels))
-        return logits.transpose(1, 0, 2)
+        _, logits_rest = jax.lax.scan(
+            body, state, jnp.arange(1, self.max_len_labels)
+        )
+        return jnp.concatenate(
+            [logits0[:, None], logits_rest.transpose(1, 0, 2)], axis=1
+        )
 
     def sample(self, x):
         """Greedy inference: returns (probs [B, T, C], ids [B, T])."""
@@ -66,6 +73,9 @@ class AttentionRecognitionHead(nn.Module):
         x_proj = self.x_embed(x)
         state = jnp.zeros((b, self.s_dim), x.dtype)
         bos = jnp.full((b,), self.num_classes, jnp.int32)
+        state, logits0 = self._step(x, x_proj, state, bos)
+        probs0 = jax.nn.softmax(logits0.astype(jnp.float32), axis=-1)
+        pred0 = jnp.argmax(probs0, axis=-1).astype(jnp.int32)
 
         def body(carry, _):
             state, y_prev = carry
@@ -74,7 +84,9 @@ class AttentionRecognitionHead(nn.Module):
             pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)
             return (state, pred), (probs, pred)
 
-        _, (probs, ids) = jax.lax.scan(
-            body, (state, bos), None, length=self.max_len_labels
+        _, (probs_rest, ids_rest) = jax.lax.scan(
+            body, (state, pred0), None, length=self.max_len_labels - 1
         )
-        return probs.transpose(1, 0, 2), ids.transpose(1, 0)
+        probs = jnp.concatenate([probs0[:, None], probs_rest.transpose(1, 0, 2)], 1)
+        ids = jnp.concatenate([pred0[:, None], ids_rest.transpose(1, 0)], 1)
+        return probs, ids

@@ -351,11 +351,156 @@ class TFDecoder(nn.Module):
         return seqs
 
 
+class TextConditionalMHA(nn.Module):
+    """FiLM-modulated cross-attention: each text query produces per-key
+    gamma/beta that modulate the visual keys/values before attention
+    (reference `TextConditionalMultiHeadAttention`,
+    models/transformer_layer.py:284-383; enabled by --text_cond_vis)."""
+
+    n_head: int = 8
+    d_k: int = 64
+    d_v: int = 64
+    d_model: int = 512
+    dropout: float = 0.1
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None, deterministic: bool = True):
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        dim_k = self.n_head * self.d_k
+        dim_v = self.n_head * self.d_v
+
+        film = nn.Dense(2 * dim_k, dtype=self.dtype, name="gamma_decode")(q)
+        gammas, betas = jnp.split(film[:, :, None, :], 2, axis=-1)  # [B,Lq,1,dk]
+        gammas, betas = jnp.tanh(gammas), jnp.tanh(betas)
+        cond = nn.LayerNorm(dtype=self.dtype, name="vis_norm")(
+            nn.Dense(dim_k, dtype=self.dtype, name="vis_proj")(k)
+        )[:, None]  # [B,1,Lk,dk]
+        cond = gammas * cond + betas  # [B,Lq,Lk,dk]
+        cond = k[:, None] + nn.LayerNorm(dtype=self.dtype, name="vis_cond_norm")(cond)
+
+        qh = nn.Dense(dim_k, use_bias=self.qkv_bias, dtype=self.dtype, name="linear_q")(q)
+        kh = nn.Dense(dim_k, use_bias=self.qkv_bias, dtype=self.dtype, name="linear_k")(cond)
+        vh = nn.Dense(dim_v, use_bias=self.qkv_bias, dtype=self.dtype, name="linear_v")(cond)
+        qh = qh.reshape(b, lq, self.n_head, self.d_k)
+        kh = kh.reshape(b, lq, lk, self.n_head, self.d_k)
+        vh = vh.reshape(b, lq, lk, self.n_head, self.d_v)
+
+        # per-query attention: [B, H, Lq, Lk]
+        logits = jnp.einsum("bqhd,bqkhd->bhqk", qh * (self.d_k**-0.5), kh)
+        logits = logits.astype(jnp.float32)
+        if mask is not None:
+            logits = jnp.where(mask, logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bqkhd->bqhd", weights, vh).reshape(b, lq, dim_v)
+        out = nn.Dense(self.d_model, use_bias=self.qkv_bias, dtype=self.dtype, name="fc")(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class TextCondDecoderLayer(TransformerDecoderLayer):
+    """Decoder layer whose cross-attention is text-conditional."""
+
+    def setup(self):
+        super().setup()
+        self.enc_attn_tc = TextConditionalMHA(
+            n_head=self.n_head, d_k=self.d_k, d_v=self.d_v, d_model=self.d_model,
+            dropout=self.dropout, qkv_bias=self.qkv_bias, dtype=self.dtype,
+        )
+
+    def __call__(self, x, enc_output, self_attn_mask=None, dec_enc_attn_mask=None,
+                 deterministic: bool = True):
+        sa_in = self.norm1(x)
+        x = x + self.self_attn(sa_in, sa_in, sa_in, self_attn_mask, deterministic)
+        x = x + self.enc_attn_tc(self.norm2(x), enc_output, enc_output,
+                                 dec_enc_attn_mask, deterministic)
+        x = x + self.mlp(self.norm3(x), deterministic)
+        return x
+
+
+class DecoupledTFDecoder(TFDecoder):
+    """Position-query decoder: a learned order embedding queries the visual
+    features; the resulting attention is mixed with class-query maps and a
+    re-projected value stream, fused with the semantic self-attention path
+    (reference: models/decoder.py:373-436 +
+    models/transformer_layer.py:121-201)."""
+
+    def setup(self):
+        super().setup()
+        self.order_enc = nn.Embed(self.max_seq_len + 1, self.d_embedding,
+                                  dtype=self.dtype)
+        self.order_dropout = nn.Dropout(self.dropout)
+        self.order_norms = [
+            nn.LayerNorm(dtype=self.dtype, name=f"order_norm_{i}")
+            for i in range(self.n_layers)
+        ]
+        d_model = self.d_model
+        # the reference hard-codes 97 here (transformer_layer.py:162);
+        # generalized to the configured class count
+        self.order2cls = [
+            nn.Sequential([
+                nn.Dense(self.d_inner, dtype=self.dtype),
+                lambda x: nn.gelu(x, approximate=False),
+                nn.Dense(self.num_classes, dtype=self.dtype),
+            ])
+            for _ in range(self.n_layers)
+        ]
+        self.new_linear_v = [
+            nn.Dense(self.n_head * self.d_v, use_bias=False, dtype=self.dtype,
+                     name=f"new_linear_v_{i}")
+            for i in range(self.n_layers)
+        ]
+
+    def decoupled_forward(self, enc_output, targets, tgt_lens,
+                          cls_query_attn_maps, deterministic: bool = False):
+        b, t = targets.shape
+        bos = jnp.full((b, 1), self.start_idx, dtype=targets.dtype)
+        query = jnp.concatenate([bos, targets], axis=-1)[:, :-1]
+        mask = (make_pad_mask(tgt_lens, t) & make_causal_mask(t))[:, None]
+        x = self._embed(query, deterministic)
+
+        orders = jnp.arange(t)[None].repeat(b, axis=0)
+        order_embed = self.order_dropout(self.order_enc(orders),
+                                         deterministic=deterministic)
+        nc = cls_query_attn_maps.shape[1]
+        cls_maps = cls_query_attn_maps.reshape(b, nc, -1)  # [B, C, Lk]
+
+        for i, layer in enumerate(self.layer_stack):
+            sa_in = layer.norm1(x)
+            x = x + layer.self_attn(sa_in, sa_in, sa_in, mask, deterministic)
+            # vision branch: order embedding queries the encoder
+            oq = self.order_norms[i](order_embed)
+            qp = layer.enc_attn.project_q(oq)
+            kp, vp = layer.enc_attn.project_kv(enc_output, enc_output)
+            order_attn_out = layer.enc_attn.attend(qp, kp, vp, None, deterministic)
+            order_attn_out = order_attn_out + order_embed
+            order2cls = jax.nn.softmax(
+                self.order2cls[i](order_attn_out).astype(jnp.float32), axis=-1
+            ).astype(x.dtype)  # [B, T, num_cls]
+            # mean-head attention map of the order query
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", qp * (layer.enc_attn.d_k**-0.5), kp
+            ).astype(jnp.float32)
+            attn_maps = jax.nn.softmax(logits, axis=-1).mean(axis=1).astype(x.dtype)
+            order_attn = jnp.einsum("btc,bck->btk", order2cls, cls_maps) + attn_maps
+            enc_v = self.new_linear_v[i](enc_output)
+            enc_attn_out = jnp.einsum("btk,bkc->btc", order_attn, enc_v)
+            x = x + enc_attn_out
+            x = x + layer.mlp(layer.norm3(x), deterministic)
+        x = self.layer_norm(x)
+        return self.classifier(x)
+
+
 def create_decoder(decoder_name: str, num_classes: int, max_len: int,
-                   encoder_dim: int = 384, dtype=jnp.float32) -> TFDecoder:
+                   encoder_dim: int = 384, dtype=jnp.float32,
+                   text_cond_vis: bool = False) -> TFDecoder:
     """Decoder factory mirroring `create_decoder`
     (reference: models/decoder.py:13-73)."""
     common = dict(num_classes=num_classes, max_seq_len=max_len, dtype=dtype)
+    if decoder_name == "decoupled_tf_decoder":
+        return DecoupledTFDecoder(**common)
     if decoder_name == "tf_decoder":
         return TFDecoder(**common)
     if decoder_name == "small_tf_decoder":

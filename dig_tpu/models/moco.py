@@ -319,13 +319,15 @@ class DiGPretrainModel(nn.Module):
         return self.forward_student(all_images, mask, deterministic)
 
 
-_SIZES = {"tiny": (192, 3), "small": (384, 6), "base": (512, 8)}
+_SIZES = {"micro": (64, 2), "tiny": (192, 3), "small": (384, 6), "base": (512, 8)}
+_DEPTHS = {"micro": 2}
 
 
 def _pretrain(size: str, use_pixel: bool, use_moco: bool, **kwargs):
     dim, heads = _SIZES[size]
     defaults = dict(
-        img_size=(32, 128), patch_size=4, encoder_embed_dim=dim, encoder_depth=12,
+        img_size=(32, 128), patch_size=4, encoder_embed_dim=dim,
+        encoder_depth=_DEPTHS.get(size, 12),
         encoder_num_heads=heads, decoder_num_classes=48, decoder_embed_dim=192,
         mlp_ratio=4.0, qkv_bias=True, use_pixel_target=use_pixel, use_moco_target=use_moco,
     )
@@ -333,7 +335,7 @@ def _pretrain(size: str, use_pixel: bool, use_moco: bool, **kwargs):
     return DiGPretrainModel(**defaults)
 
 
-for _size in ("tiny", "small", "base"):
+for _size in ("micro", "tiny", "small", "base"):
     for _name, _pix, _moco in (
         (f"pretrain_moco_ori_vit_{_size}_patch4_32x128", False, True),
         (f"pretrain_simmim_ori_vit_{_size}_patch4_32x128", True, False),

@@ -45,23 +45,46 @@ class RecModel(nn.Module):
     encoder: nn.Module
     decoder: TFDecoder
     use_1d_attdec: bool = False
+    use_feat_distill: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.linear_norm = LinearNorm(self.decoder.d_embedding, dtype=self.dtype)
+        if self.use_feat_distill:
+            # 3-layer projector for feature distillation
+            # (reference: models/model_builder.py:113-115, 183-202)
+            from dig_tpu.models.moco import MLPHead
 
-    def _encode(self, images, deterministic):
+            self.feat_proj = MLPHead(3, 4096, self.encoder.embed_dim, dtype=self.dtype)
+
+    def _raw_encode(self, images, deterministic):
         enc = self.encoder(images, deterministic=deterministic)
         if self.use_1d_attdec:
             b, n, c = enc.shape
             gh, gw = self.encoder.patch_shape
             enc = enc.reshape(b, gh, gw, c).mean(axis=1)
-        return self.linear_norm(enc)
+        return enc
+
+    def _encode(self, images, deterministic):
+        return self.linear_norm(self._raw_encode(images, deterministic))
 
     def __call__(self, images, targets, tgt_lens, deterministic: bool = False):
-        """Teacher-forced training pass -> [B, T, num_classes] logits."""
-        dec_in = self._encode(images, deterministic)
-        return self.decoder(dec_in, targets, tgt_lens, deterministic=deterministic)
+        """Teacher-forced training pass -> [B, T, num_classes] logits
+        (plus the projected student feature when distilling;
+        reference: models/model_builder.py:161-166)."""
+        enc = self._raw_encode(images, deterministic)
+        logits = self.decoder(self.linear_norm(enc), targets, tgt_lens,
+                              deterministic=deterministic)
+        if self.use_feat_distill:
+            b, l, c = enc.shape
+            s_feat = self.feat_proj(enc.reshape(b * l, c)).reshape(b, l, c)
+            return logits, s_feat
+        return logits
+
+    def encode_features(self, images, deterministic: bool = True):
+        """Bare encoder features (used as the distillation teacher;
+        engine_for_finetuning.py:34-36)."""
+        return self.encoder(images, deterministic=deterministic)
 
     def recognize(self, images, beam_width: int = 0, eos: int = 94):
         """Inference: greedy (KV-cached scan) or beam search.
@@ -147,7 +170,10 @@ class MimRecModel(nn.Module):
     def __call__(self, images, targets, tgt_lens, mask=None, num_mim_samples: int = 0,
                  deterministic: bool = False):
         out = {}
-        enc = self.encoder(images, mask, deterministic=deterministic)
+        if mask is not None:
+            enc = self.encoder(images, mask, deterministic=deterministic)
+        else:
+            enc = self.encoder(images, deterministic=deterministic)
         rec_in = enc
         if mask is not None:
             out["pix_pred"] = self.pix_head(self.pix_encoder_to_decoder(enc))
@@ -157,6 +183,64 @@ class MimRecModel(nn.Module):
         dec_in = self.linear_norm(rec_in)
         out["rec_pred"] = self.decoder(dec_in, targets, tgt_lens, deterministic=deterministic)
         return out
+
+
+class MultiLabelHead(nn.Module):
+    """Class-query attention pooling producing per-character presence
+    logits and the class-query attention maps consumed by the decoupled
+    decoder (capability for --use_multi_label_loss /
+    cls_query_attn_maps; reference: run_class_finetuning.py multi-label
+    path + models/model_builder.py:131-143 — the producing encoder module
+    is absent from the reference snapshot, so this is a fresh design)."""
+
+    nb_classes: int = 97
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat_map, deterministic: bool = True):
+        b, n, c = feat_map.shape
+        queries = self.param(
+            "cls_queries", nn.initializers.truncated_normal(0.02),
+            (1, self.nb_classes, c), jnp.float32,
+        )
+        q = jnp.broadcast_to(jnp.asarray(queries, feat_map.dtype),
+                             (b, self.nb_classes, c))
+        logits = jnp.einsum("bqc,bnc->bqn", q, feat_map) * (c**-0.5)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(feat_map.dtype)
+        pooled = jnp.einsum("bqn,bnc->bqc", attn, feat_map)
+        cls_logit = nn.Dense(1, dtype=self.dtype, name="presence")(pooled)[..., 0]
+        return cls_logit, attn  # [B, nb_classes], [B, nb_classes, N]
+
+
+class SeqClsRecModel(nn.Module):
+    """Recognizer with a multi-label class-presence branch whose attention
+    maps can feed a `DecoupledTFDecoder`."""
+
+    encoder: nn.Module
+    decoder: TFDecoder
+    nb_classes: int = 97
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.linear_norm = LinearNorm(self.decoder.d_embedding, dtype=self.dtype)
+        self.multi_label = MultiLabelHead(nb_classes=self.nb_classes, dtype=self.dtype)
+
+    def __call__(self, images, targets, tgt_lens, deterministic: bool = False):
+        enc = self.encoder(images, deterministic=deterministic)
+        cls_logit, cls_maps = self.multi_label(enc, deterministic)
+        dec_in = self.linear_norm(enc)
+        if isinstance(self.decoder, type(None)):
+            return None, cls_logit, cls_maps
+        from dig_tpu.models.decoder import DecoupledTFDecoder
+
+        if isinstance(self.decoder, DecoupledTFDecoder):
+            logits = self.decoder.decoupled_forward(
+                dec_in, targets, tgt_lens, cls_maps, deterministic
+            )
+        else:
+            logits = self.decoder(dec_in, targets, tgt_lens, deterministic=deterministic)
+        return logits, cls_logit, cls_maps
 
 
 def build_rec_model(

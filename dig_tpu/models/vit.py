@@ -20,7 +20,9 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dig_tpu.models.layers import (
     Block,
@@ -50,6 +52,10 @@ class VisionTransformer(nn.Module):
     use_mean_pooling: bool = True
     return_feat_map: bool = True
     num_classes: int = 0
+    use_seq_cls_token: bool = False  # per-position class queries (:249-255)
+    max_seq_len: int = 25
+    num_mem_slots: int = 0  # frozen memory-bank tokens (:263-269)
+    use_mem_in_decoder: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -79,6 +85,14 @@ class VisionTransformer(nn.Module):
         )(x)
         b, n, c = x.shape
 
+        if self.num_mem_slots > 0:
+            # frozen random memory slots appended to the token map (:325-326)
+            mem = self.param("mem_bank", trunc_normal_init,
+                             (1, self.num_mem_slots, c), jnp.float32)
+            mem = jax.lax.stop_gradient(jnp.asarray(mem, x.dtype))
+            x = jnp.concatenate([x, jnp.broadcast_to(mem, (b, self.num_mem_slots, c))], 1)
+            n = n + self.num_mem_slots
+
         if self.use_learnable_pos_emb:
             pos = self.param("pos_embed", trunc_normal_init, (1, n, c), jnp.float32)
         else:
@@ -86,7 +100,26 @@ class VisionTransformer(nn.Module):
         x = x + jnp.asarray(pos, dtype=x.dtype)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
 
-        dpr = [float(r) for r in jnp.linspace(0, self.drop_path_rate, self.depth)]
+        n_cls = 0
+        if self.use_seq_cls_token:
+            # max_seq_len learned class queries with their own sinusoid
+            # positions and token-type embeddings (:335-342)
+            cls_tok = self.param("cls_token", trunc_normal_init,
+                                 (1, self.max_seq_len, c), jnp.float32)
+            cls_type = self.param("cls_type_emb", trunc_normal_init, (1, 1, c), jnp.float32)
+            vis_type = self.param("vis_type_emb", trunc_normal_init, (1, 1, c), jnp.float32)
+            cls = jnp.asarray(cls_tok, x.dtype) + jnp.asarray(
+                sinusoid_position_table(self.max_seq_len, c), x.dtype
+            ) + jnp.asarray(cls_type, x.dtype)
+            cls = nn.Dropout(self.drop_rate)(
+                jnp.broadcast_to(cls, (b, self.max_seq_len, c)),
+                deterministic=deterministic,
+            )
+            x = x + jnp.asarray(vis_type, x.dtype)
+            x = jnp.concatenate([cls, x], axis=1)
+            n_cls = self.max_seq_len
+
+        dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
         for i in range(self.depth):
             x = Block(
                 num_heads=self.num_heads,
@@ -100,6 +133,11 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic=deterministic)
+
+        if self.num_mem_slots > 0 and not self.use_mem_in_decoder:
+            x = x[:, : x.shape[1] - self.num_mem_slots]
+        if self.use_seq_cls_token:
+            return x[:, :n_cls]
 
         if self.return_feat_map:
             # norm is Identity when mean pooling is configured
@@ -173,7 +211,7 @@ class PretrainViTEncoder(nn.Module):
             pos = sinusoid_position_table(n, c)
         x = x + jnp.asarray(pos, dtype=x.dtype)
 
-        dpr = [float(r) for r in jnp.linspace(0, self.drop_path_rate, self.depth)]
+        dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
         for i in range(self.depth):
             x = Block(
                 num_heads=self.num_heads,
@@ -192,13 +230,14 @@ class PretrainViTEncoder(nn.Module):
         return x
 
 
-_WIDTHS = {"tiny": (192, 3), "small": (384, 6), "base": (512, 8)}
+_WIDTHS = {"micro": (64, 2), "tiny": (192, 3), "small": (384, 6), "base": (512, 8)}
+_DEPTHS = {"micro": 2}
 
 
 def _vit(size, **kwargs):
     dim, heads = _WIDTHS[size]
     defaults = dict(
-        img_size=(32, 128), patch_size=4, embed_dim=dim, depth=12,
+        img_size=(32, 128), patch_size=4, embed_dim=dim, depth=_DEPTHS.get(size, 12),
         num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
     )
     defaults.update(kwargs)
@@ -208,11 +247,22 @@ def _vit(size, **kwargs):
 def _simmim_vit(size, **kwargs):
     dim, heads = _WIDTHS[size]
     defaults = dict(
-        img_size=(32, 128), patch_size=4, embed_dim=dim, depth=12,
+        img_size=(32, 128), patch_size=4, embed_dim=dim, depth=_DEPTHS.get(size, 12),
         num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
     )
     defaults.update(kwargs)
     return PretrainViTEncoder(**defaults)
+
+
+@register_model(name="vit_micro_patch4_32x128")
+def vit_micro_patch4_32x128(**kw):
+    """2-layer, 64-dim test/smoke model (not in the reference registry)."""
+    return _vit("micro", **kw)
+
+
+@register_model(name="simmim_vit_micro_patch4_32x128")
+def simmim_vit_micro_patch4_32x128(**kw):
+    return _simmim_vit("micro", **kw)
 
 
 @register_model(name="vit_tiny_patch4_32x128")
@@ -234,6 +284,25 @@ def vit_base_patch4_32x128(**kw):
 def vit_satrn_patch4_32x128(**kw):
     # reference: modeling_finetune.py:429-435 (512-wide, 8 heads)
     return _vit("base", **kw)
+
+
+@register_model(name="vit_seq_cls_satrn_patch4_32x128")
+def vit_seq_cls_satrn_patch4_32x128(**kw):
+    # reference: modeling_finetune.py:437-443
+    kw.setdefault("use_seq_cls_token", True)
+    kw.setdefault("max_seq_len", 25)
+    return _vit("base", **kw)
+
+
+@register_model(name="vit_seq_cls_base_patch4_32x128")
+def vit_seq_cls_base_patch4_32x128(**kw):
+    # reference: modeling_finetune.py:445-451 (768-wide, 12 heads)
+    kw.setdefault("use_seq_cls_token", True)
+    kw.setdefault("max_seq_len", 25)
+    defaults = dict(img_size=(32, 128), patch_size=4, embed_dim=768, depth=12,
+                    num_heads=12, mlp_ratio=4.0, qkv_bias=True)
+    defaults.update(kw)
+    return VisionTransformer(**defaults)
 
 
 @register_model(name="simmim_vit_tiny_patch4_32x128")

@@ -50,7 +50,38 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     ).astype(o_ref.dtype)
 
 
-def _pallas_attention(q, k, v, scale):
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    """Fused backward for one (batch*head) slice: recompute the softmax in
+    VMEM (flash-attention style; cheaper than storing the [Lq, Lk] weights
+    to HBM) and produce dq/dk/dv with four MXU matmuls."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    w = jax.nn.softmax(logits, axis=-1)  # [Lq, Lk] fp32
+    wt = w.astype(v.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        wt, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dw = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    ds = ds.astype(q.dtype)
+    dq_ref[0] = (
+        jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = (
+        jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    ).astype(dk_ref.dtype)
+
+
+def _pallas_attention_fwd_impl(q, k, v, scale):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     bh = b * h
@@ -74,6 +105,47 @@ def _pallas_attention(q, k, v, scale):
         ),
     )(qf, kf, vf)
     return out.reshape(b, h, lq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_attention(q, k, v, scale):
+    return _pallas_attention_fwd_impl(q, k, v, scale)
+
+
+def _pallas_attention_fwd(q, k, v, scale):
+    return _pallas_attention_fwd_impl(q, k, v, scale), (q, k, v)
+
+
+def _pallas_attention_bwd(scale, res, g):
+    q, k, v = res
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bh = b * h
+    spec_q = pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=(bh,),
+        in_specs=[spec_q, spec_k, spec_k, spec_q],
+        out_specs=(spec_q, spec_k, spec_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk, d), v.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * lq * lk * d,
+            bytes_accessed=4 * bh * lq * d * q.dtype.itemsize,
+            transcendentals=bh * lq * lk,
+        ),
+    )(
+        q.reshape(bh, lq, d), k.reshape(bh, lk, d), v.reshape(bh, lk, d),
+        g.reshape(bh, lq, d),
+    )
+    return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
+
+
+_pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 
 
 def _use_pallas(q, k, mask) -> bool:

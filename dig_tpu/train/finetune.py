@@ -1,0 +1,165 @@
+"""Jitted fine-tuning / evaluation steps for recognition models.
+
+Mirrors the reference fine-tune engine (engine_for_finetuning.py:26-210)
+and evaluation (:213-285): teacher-forced label-smoothing CE during
+training, greedy (or beam) decode + word accuracy at eval.  The eval loss
+follows the reference's logging convention of applying the sequence CE to
+the per-step softmax outputs (:232-249).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dig_tpu.losses.seq_ce import seq_cross_entropy, seq_label_smoothing_cross_entropy
+from dig_tpu.parallel.mesh import batch_sharding
+from dig_tpu.train.state import TrainState
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def init_finetune_state(model, tx, rng, batch_size: int = 2, max_len: int = 25):
+    img_size = model.encoder.img_size
+    images = jnp.zeros((batch_size, *img_size, 3), jnp.float32)
+    targets = jnp.zeros((batch_size, max_len), jnp.int32)
+    lens = jnp.ones((batch_size,), jnp.int32)
+    variables = model.init(rng, images, targets, lens, True)
+    return TrainState.create(variables["params"], tx)
+
+
+def make_finetune_step(model, smoothing: float = 0.1, mesh=None, update_freq: int = 1):
+    def train_step(state: TrainState, batch, rng):
+        images, targets, lens = batch["images"], batch["targets"], batch["lengths"]
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, images, targets, lens, False, rngs={"dropout": rng}
+            )
+            if smoothing > 0:
+                loss = seq_label_smoothing_cross_entropy(logits, targets, lens, smoothing)
+            else:
+                loss = seq_cross_entropy(logits, targets, lens)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        metrics = {
+            "loss": loss,
+            "grad_norm": jnp.sqrt(
+                sum(
+                    jnp.sum(g.astype(jnp.float32) ** 2)
+                    for g in jax.tree_util.tree_leaves(grads)
+                )
+            ),
+        }
+        pred_ids = jnp.argmax(logits, axis=-1)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics, pred_ids
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=0)
+    data = batch_sharding(mesh)
+    shardings = {"images": data, "targets": data, "lengths": data}
+    return jax.jit(train_step, in_shardings=(None, shardings, NamedSharding(mesh, P())),
+                   donate_argnums=0)
+
+
+def make_distill_finetune_step(model, teacher_params, smoothing: float = 0.1,
+                               loss_weight_feat_distill: float = 1.0, mesh=None):
+    """Fine-tune with feature distillation against a frozen teacher encoder:
+    smooth-L1 between the student's projected features and the layer-normed
+    teacher features (reference: engine_for_finetuning.py:32-41,
+    beta=2 huber)."""
+
+    def train_step(state: TrainState, batch, rng):
+        images, targets, lens = batch["images"], batch["targets"], batch["lengths"]
+        t_feat = model.apply({"params": teacher_params}, images, True,
+                             method=model.encode_features)
+        t_feat = jax.lax.stop_gradient(
+            jax.nn.standardize(t_feat.astype(jnp.float32), axis=-1, epsilon=1e-5)
+        )
+
+        def loss_fn(params):
+            logits, s_feat = model.apply(
+                {"params": params}, images, targets, lens, False,
+                rngs={"dropout": rng},
+            )
+            loss_rec = seq_label_smoothing_cross_entropy(logits, targets, lens, smoothing)
+            # smooth_l1 with beta=2
+            diff = jnp.abs(s_feat.astype(jnp.float32) - t_feat)
+            beta = 2.0
+            huber = jnp.where(diff < beta, 0.5 * diff**2 / beta, diff - 0.5 * beta)
+            loss_distill = jnp.mean(huber)
+            loss = loss_rec + loss_weight_feat_distill * loss_distill
+            return loss, (loss_rec, loss_distill)
+
+        (loss, (loss_rec, loss_distill)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss, "loss_rec": loss_rec,
+                           "loss_distill": loss_distill}
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=0)
+    data = batch_sharding(mesh)
+    shardings = {"images": data, "targets": data, "lengths": data}
+    return jax.jit(train_step, in_shardings=(None, shardings, NamedSharding(mesh, P())),
+                   donate_argnums=0)
+
+
+def make_ctc_step(model, blank_id: int, mesh=None):
+    """CTC training step for `CTCRecModel` — the reference ships the model
+    and the CTC greedy-decode metric but never wires a CTC loss
+    (models/model_builder.py:8-38; SURVEY.md §2.3); here it is a
+    first-class capability via optax.ctc_loss."""
+    import optax
+
+    def train_step(state: TrainState, batch, rng):
+        images, targets, lens = batch["images"], batch["targets"], batch["lengths"]
+
+        def loss_fn(params):
+            logits = model.apply({"params": params}, images, False,
+                                 rngs={"dropout": rng})
+            b, t, _ = logits.shape
+            logit_paddings = jnp.zeros((b, t), jnp.float32)
+            label_paddings = (
+                jnp.arange(targets.shape[1])[None, :] >= (lens - 1)[:, None]
+            ).astype(jnp.float32)  # drop the EOS token for CTC labels
+            loss = optax.ctc_loss(
+                logits.astype(jnp.float32), logit_paddings, targets,
+                label_paddings, blank_id=blank_id,
+            ).mean()
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss}, jnp.argmax(logits, axis=-1)
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=0)
+    data = batch_sharding(mesh)
+    shardings = {"images": data, "targets": data, "lengths": data}
+    return jax.jit(train_step, in_shardings=(None, shardings, NamedSharding(mesh, P())),
+                   donate_argnums=0)
+
+
+def make_eval_step(model, beam_width: int = 0, eos: int = 94, mesh=None):
+    def eval_step(params, batch):
+        images, targets, lens = batch["images"], batch["targets"], batch["lengths"]
+        probs, ids = model.apply(
+            {"params": params}, images, beam_width, eos, method=model.recognize
+        )
+        if probs is not None:
+            # reference logs SeqCE applied to the softmax outputs (:249)
+            loss = seq_cross_entropy(jnp.log(probs + 1e-9), targets, lens)
+        else:
+            loss = jnp.float32(0.0)
+        return ids, loss
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    data = batch_sharding(mesh)
+    shardings = {"images": data, "targets": data, "lengths": data}
+    return jax.jit(eval_step, in_shardings=(None, shardings))

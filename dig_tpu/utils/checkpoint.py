@@ -1,0 +1,202 @@
+"""Checkpointing: Orbax save/restore with the reference's auto-resume
+semantics, plus a converter for the reference's PyTorch checkpoints.
+
+Parity targets (reference: utils/utils.py:546-669):
+
+* `save_model` writes {model, optimizer, epoch, scaler, args} to
+  ``checkpoint-{epoch}.pth`` every `save_ckpt_freq` epochs and mid-epoch;
+  here each checkpoint is an Orbax directory ``checkpoint-{tag}``,
+* `auto_load_model` scans the output dir for the highest
+  ``checkpoint-N`` and restores model+optimizer+epoch, tolerating
+  missing/corrupt checkpoints,
+* `--finetune` loading does key surgery (strip ``backbone.``/``encoder.``
+  prefixes) and positional-embedding re-interpolation
+  (run_class_finetuning.py:362-441) — `load_torch_checkpoint` +
+  `convert_torch_params` reproduce this for the published DiG weights.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(output_dir: str, tag, state, extra: Optional[dict] = None):
+    """Write ``{output_dir}/checkpoint-{tag}`` (blocking, rank-0 only on
+    multi-host — orbax coordinates internally)."""
+    ocp = _ocp()
+    path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{tag}"))
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+    }
+    if state.ema_params is not None:
+        payload["ema_params"] = jax.device_get(state.ema_params)
+    if extra:
+        payload["extra"] = extra
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def restore_checkpoint(path: str):
+    ocp = _ocp()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Highest-numbered ``checkpoint-N`` dir (reference regex scan,
+    utils/utils.py:592-601)."""
+    if not os.path.isdir(output_dir):
+        return None
+    best, best_n = None, -1
+    for name in os.listdir(output_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = name, int(m.group(1))
+    return os.path.join(output_dir, best) if best else None
+
+
+def auto_resume(output_dir: str, state):
+    """Restore the latest checkpoint into `state` if one exists; returns
+    (state, start_epoch_extra_dict)."""
+    path = latest_checkpoint(output_dir)
+    if path is None:
+        return state, None
+    try:
+        payload = restore_checkpoint(path)
+    except Exception as e:  # tolerate partial checkpoints like the reference
+        print(f"auto-resume failed for {path}: {e}")
+        return state, None
+    import jax.numpy as jnp
+
+    state = state.replace(
+        params=payload["params"],
+        opt_state=payload["opt_state"],
+        step=jnp.asarray(payload["step"], jnp.int32),
+        ema_params=payload.get("ema_params", state.ema_params),
+    )
+    print(f"auto-resumed from {path}")
+    return state, payload.get("extra")
+
+
+# ---------------------------------------------------------------------------
+# PyTorch checkpoint conversion (published DiG weights -> dig_tpu trees)
+# ---------------------------------------------------------------------------
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a reference .pth checkpoint to numpy (CPU torch required)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model", "module", "state_dict"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in ckpt.items()}
+
+
+def _set(tree: dict, path: list, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_torch_encoder(state_dict: dict, prefix: str = "encoder.") -> dict:
+    """Map the reference ViT encoder's torch tensors onto the dig_tpu
+    Flax tree (patch_embed conv -> dense kernel, fused qkv, per-block
+    norms/mlp).  Key layout follows modeling_finetune.py /
+    modeling_pretrain_vit.py."""
+    out: dict = {}
+    sd = {
+        k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)
+    } or dict(state_dict)
+    for k, v in sd.items():
+        v = np.asarray(v)
+        if k == "patch_embed.proj.weight":
+            # conv [D, C, p, p] -> dense [p*p*C, D] matching our reshape
+            d, c, p1, p2 = v.shape
+            kernel = v.transpose(2, 3, 1, 0).reshape(p1 * p2 * c, d)
+            _set(out, ["patch_embed", "proj", "kernel"], kernel)
+        elif k == "patch_embed.proj.bias":
+            _set(out, ["patch_embed", "proj", "bias"], v)
+        elif k == "mask_token":
+            _set(out, ["mask_token"], v.reshape(1, 1, -1))
+        elif k == "pos_embed":
+            _set(out, ["pos_embed"], v)
+        elif m := re.fullmatch(r"blocks\.(\d+)\.(.+)", k):
+            i, rest = m.group(1), m.group(2)
+            blk = f"blocks_{i}"
+            if rest == "attn.qkv.weight":
+                _set(out, [blk, "attn", "qkv_kernel"], v.T)
+            elif rest == "attn.q_bias":
+                _set(out, [blk, "attn", "q_bias"], v)
+            elif rest == "attn.v_bias":
+                _set(out, [blk, "attn", "v_bias"], v)
+            elif rest == "attn.proj.weight":
+                _set(out, [blk, "attn", "proj", "kernel"], v.T)
+            elif rest == "attn.proj.bias":
+                _set(out, [blk, "attn", "proj", "bias"], v)
+            elif rest in ("norm1.weight", "norm2.weight"):
+                _set(out, [blk, rest.split(".")[0], "scale"], v)
+            elif rest in ("norm1.bias", "norm2.bias"):
+                _set(out, [blk, rest.split(".")[0], "bias"], v)
+            elif rest == "mlp.fc1.weight":
+                _set(out, [blk, "mlp", "Dense_0", "kernel"], v.T)
+            elif rest == "mlp.fc1.bias":
+                _set(out, [blk, "mlp", "Dense_0", "bias"], v)
+            elif rest == "mlp.fc2.weight":
+                _set(out, [blk, "mlp", "Dense_1", "kernel"], v.T)
+            elif rest == "mlp.fc2.bias":
+                _set(out, [blk, "mlp", "Dense_1", "bias"], v)
+            elif rest in ("gamma_1", "gamma_2"):
+                _set(out, [blk, rest], v)
+        elif k == "norm.weight":
+            _set(out, ["norm", "scale"], v)
+        elif k == "norm.bias":
+            _set(out, ["norm", "bias"], v)
+        elif k == "fc_norm.weight":
+            _set(out, ["fc_norm", "scale"], v)
+        elif k == "fc_norm.bias":
+            _set(out, ["fc_norm", "bias"], v)
+    return out
+
+
+def merge_pretrained_encoder(params: dict, encoder_tree: dict, dest: str = "encoder") -> dict:
+    """Graft a converted encoder tree into a model's params (checkpoint
+    surgery; run_class_finetuning.py:362-441).  Shape-mismatched leaves
+    (e.g. a different-resolution pos_embed) are skipped with a note."""
+    import copy
+
+    params = copy.deepcopy(jax.device_get(params))
+
+    def graft(dst, src, path=""):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if k in dst and isinstance(dst[k], dict):
+                    graft(dst[k], v, f"{path}/{k}")
+                else:
+                    print(f"skip missing subtree {path}/{k}")
+            else:
+                if k in dst and np.shape(dst[k]) == np.shape(v):
+                    dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+                else:
+                    print(f"skip {path}/{k}: shape {np.shape(v)} vs "
+                          f"{np.shape(dst.get(k))}")
+
+    graft(params[dest], encoder_tree, dest)
+    return params

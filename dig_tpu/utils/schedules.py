@@ -49,15 +49,15 @@ def moco_momentum_schedule(
 
     With cosine enabled the momentum ramps ``moco_m -> 1`` following
     ``m(e) = 1 - 0.5 (1 + cos(pi e / E)) (1 - moco_m)`` evaluated at the
-    fractional epoch ``epoch + step/steps_per_epoch + 1`` exactly as the
+    fractional epoch ``epoch + step/steps_per_epoch`` exactly as the
     reference engine does per iteration
-    (engine_for_pretraining_moco.py:68-73).
+    (engine_for_pretraining_moco.py:68-73; utils/utils.py:540-543).
     """
     total = epochs * steps_per_epoch
     if not use_cosine:
         return np.full((total,), moco_m, dtype=np.float32)
     steps = np.arange(total)
-    frac_epoch = steps / steps_per_epoch + 1.0
+    frac_epoch = steps / steps_per_epoch
     m = 1.0 - 0.5 * (1.0 + np.cos(np.pi * frac_epoch / epochs)) * (1.0 - moco_m)
     return m.astype(np.float32)
 

@@ -28,10 +28,10 @@ def test_moco_momentum_matches_reference_formula():
 
     epochs, spe, m0 = 10, 7, 0.99
     sched = moco_momentum_schedule(m0, epochs, spe, use_cosine=True)
-    # reference: engine computes per step m(epoch + step/iters + 1)
+    # reference: engine computes per step m(epoch + step/iters)
     for epoch in range(epochs):
         for step in range(spe):
-            e = epoch + step / spe + 1.0
+            e = epoch + step / spe
             expect = 1.0 - 0.5 * (1.0 + math.cos(math.pi * e / epochs)) * (1.0 - m0)
             assert np.isclose(sched[epoch * spe + step], expect, atol=1e-6)
 
