@@ -59,7 +59,9 @@ def build_model(cfg: FinetuneConfig):
         drop_path_rate=cfg.drop_path,
         use_1d_attdec=cfg.use_1d_attdec,
         use_mean_pooling=cfg.use_mean_pooling,
+        use_feat_distill=cfg.use_feat_distill,
         dtype=dtype,
+        model_kind=cfg.model_kind,
     )
 
 
@@ -198,7 +200,17 @@ def main(cfg: FinetuneConfig):
         if extra is not None:
             start_epoch = int(extra.get("epoch", -1)) + 1
 
-    step_fn = make_finetune_step(model, smoothing=cfg.smoothing, mesh=mesh)
+    if cfg.use_feat_distill and cfg.teacher_ckpt:
+        from dig_tpu.train.finetune import make_distill_finetune_step
+
+        t_payload = restore_checkpoint(cfg.teacher_ckpt)
+        t_params = t_payload["params"]
+        step_fn = make_distill_finetune_step(
+            model, t_params, smoothing=cfg.smoothing,
+            loss_weight_feat_distill=cfg.loss_weight_feat_distill, mesh=mesh,
+        )
+    else:
+        step_fn = make_finetune_step(model, smoothing=cfg.smoothing, mesh=mesh)
     tb = TensorboardLogger(cfg.log_dir or os.path.join(cfg.output_dir, "tb"))
     jsonl = JsonlLogger(cfg.output_dir)
     step_rng = jax.random.PRNGKey(cfg.seed + 1)

@@ -103,6 +103,10 @@ class FinetuneConfig:
     # model
     model: str = "vit_small_patch4_32x128"
     decoder_name: str = "tf_decoder"
+    model_kind: str = "rec"  # rec | ctc | attn (selects the head family)
+    use_feat_distill: bool = False
+    loss_weight_feat_distill: float = 1.0
+    teacher_ckpt: str = ""
     nb_classes: int = 97
     max_len: int = 25
     drop: float = 0.1

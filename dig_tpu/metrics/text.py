@@ -92,6 +92,21 @@ def accuracy_with_lexicon(pred_ids, target_ids, charset: Charset, lexicons) -> l
     return accs
 
 
+def rec_post_process(pred_ids, target_ids, scores, charset: Charset):
+    """Decode plus per-word confidence: product of per-step max-probs up to
+    and including EOS (reference: evaluation_metric/metrics.py:189-202).
+    `scores` is [N, T] of per-step chosen-symbol probabilities."""
+    preds = decode_batch(pred_ids, charset)
+    targs = decode_batch(target_ids, charset)
+    scores = np.asarray(scores)
+    max_len = scores.shape[1]
+    out_scores = []
+    for i, pred in enumerate(preds):
+        n = min(len(pred) + 1, max_len)  # include the EOS step
+        out_scores.append(float(np.prod(scores[i, :n])))
+    return preds, targs, out_scores
+
+
 def ctc_decode_batch(ids, charset: Charset):
     """Collapse repeats then drop blanks (blank id == num_classes, one past
     vocab; reference: evaluation_metric/metrics.py:205-227)."""

@@ -70,20 +70,17 @@ class DecoderMHA(nn.Module):
         """q [B, Lq, H, Dk]; k/v [B, Lk, H, D*]; mask broadcastable to
         [B, H, Lq, Lk] (True = attend)."""
         b, lq = q.shape[:2]
-        qh = q.transpose(0, 2, 1, 3)
-        kh = k.transpose(0, 2, 1, 3)
-        vh = v.transpose(0, 2, 1, 3)
         if self.dropout > 0.0 and not deterministic:
-            logits = jnp.einsum("bhqd,bhkd->bhqk", qh * (self.d_k**-0.5), kh)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * (self.d_k**-0.5), k)
             logits = logits.astype(jnp.float32)
             if mask is not None:
                 logits = jnp.where(mask, logits, -1e30)
             weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             weights = self.attn_drop(weights, deterministic=False)
-            out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         else:
-            out = multi_head_attention(qh, kh, vh, mask=mask, scale=self.d_k**-0.5)
-        out = out.transpose(0, 2, 1, 3).reshape(b, lq, self.n_head * self.d_v)
+            out = multi_head_attention(q, k, v, mask=mask, scale=self.d_k**-0.5)
+        out = out.reshape(b, lq, self.n_head * self.d_v)
         out = self.fc(out)
         return self.proj_drop(out, deterministic=deterministic)
 
@@ -297,6 +294,50 @@ class TFDecoder(nn.Module):
         probs = probs.transpose(1, 0, 2)  # [B, T, C]
         ids = ids.transpose(1, 0)
         return probs, ids
+
+    def _run_layers_cached_cross(self, tgt, cross_kvs, self_attn_mask,
+                                 deterministic: bool = True):
+        """Full-width decoder pass with precomputed cross K/V."""
+        x = tgt
+        for layer, (ck, cv) in zip(self.layer_stack, cross_kvs):
+            sa_in = layer.norm1(x)
+            x = x + layer.self_attn(sa_in, sa_in, sa_in, self_attn_mask, deterministic)
+            cq = layer.enc_attn.project_q(layer.norm2(x))
+            x = x + layer.enc_attn.attend(cq, ck, cv, None, deterministic)
+            x = x + layer.mlp(layer.norm3(x), deterministic)
+        return self.layer_norm(x)
+
+    def greedy_decode_dense(self, enc_output):
+        """Greedy decode that re-runs the decoder on the FULL prefix each
+        step (the reference's inference structure, models/decoder.py:233-247)
+        — but jitted as a scan with precomputed cross K/V.
+
+        On TPU this beats the token-at-a-time KV cache for this model
+        geometry: T is tiny (25) so per-step FLOPs stay negligible while
+        the per-step tensors keep MXU-friendly [B*T, C] shapes instead of
+        [B, 1, C] slivers; HBM traffic (dominated by re-reading the cross
+        K/V each step) is identical.  Outputs match `greedy_decode`
+        exactly (causal masking makes position t independent of future
+        tokens)."""
+        b = enc_output.shape[0]
+        t_max = self.max_seq_len
+        cross_kvs = self.prepare_cross(enc_output)
+        causal = make_causal_mask(t_max)[:, None]  # [1, 1, T, T]
+
+        def body(tokens, t):
+            tgt = self._embed(tokens[:, :-1], True)
+            out = self._run_layers_cached_cross(tgt, cross_kvs, causal)
+            logits_t = self.classifier(
+                jax.lax.dynamic_slice_in_dim(out, t, 1, axis=1)[:, 0]
+            )
+            probs = jax.nn.softmax(logits_t.astype(jnp.float32), axis=-1)
+            nxt = jnp.argmax(probs, axis=-1).astype(tokens.dtype)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t + 1))
+            return tokens, (probs, nxt)
+
+        tokens0 = jnp.zeros((b, t_max + 1), jnp.int32).at[:, 0].set(self.start_idx)
+        _, (probs, ids) = jax.lax.scan(body, tokens0, jnp.arange(t_max))
+        return probs.transpose(1, 0, 2), ids.transpose(1, 0)
 
     # ---- beam search ----------------------------------------------------------
 

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dig_tpu.ops.attention import multi_head_attention
+from dig_tpu.ops.attention import multi_head_attention, multi_head_attention_packed
+from dig_tpu.ops.layernorm import layer_norm as fused_layer_norm
 
 Dtype = jnp.dtype
 
@@ -54,6 +55,22 @@ def drop_path(x, rate: float, deterministic: bool, rng) -> jnp.ndarray:
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in LayerNorm backed by the fused Pallas kernel on TPU.
+    Parameter names (scale/bias) match `flax.linen.LayerNorm`, so
+    checkpoints are interchangeable."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return fused_layer_norm(x, scale, bias, self.epsilon).astype(self.dtype)
 
 
 class Mlp(nn.Module):
@@ -104,8 +121,11 @@ class Attention(nn.Module):
             v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,), jnp.float32)
             bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
             qkv = qkv + bias.astype(self.dtype)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+        # contiguous column slices of the fused projection — zero-copy
+        # (the packed q|k|v layout matches the reference's fused qkv weight)
+        q = qkv[:, :, :all_head_dim]
+        k = qkv[:, :, all_head_dim : 2 * all_head_dim]
+        v = qkv[:, :, 2 * all_head_dim :]
 
         if mask is not None and mask.ndim == 2:
             mask = mask[:, None, None, :]
@@ -115,16 +135,19 @@ class Attention(nn.Module):
         drop_attn = self.attn_drop > 0.0 and not deterministic
         if drop_attn:
             # Dropout on attention weights forces the unfused path.
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k).astype(jnp.float32)
+            qh = q.reshape(b, n, self.num_heads, head_dim)
+            kh = k.reshape(b, n, self.num_heads, head_dim)
+            vh = v.reshape(b, n, self.num_heads, head_dim)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh).astype(jnp.float32)
             if mask is not None:
                 logits = jnp.where(mask, logits, -1e30)
             weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             weights = nn.Dropout(self.attn_drop)(weights, deterministic=False)
-            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh).reshape(b, n, all_head_dim)
         else:
-            out = multi_head_attention(q, k, v, mask=mask, scale=scale)
-
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, all_head_dim)
+            out = multi_head_attention_packed(
+                q, k, v, self.num_heads, mask=mask, scale=scale
+            )
         out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -158,8 +181,8 @@ class Block(nn.Module):
             attn_head_dim=self.attn_head_dim,
             dtype=self.dtype,
             name="attn",
-        )(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x), mask, deterministic)
-        mlp_in = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")
+        )(FusedLayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x), mask, deterministic)
+        mlp_in = FusedLayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")
         if self.init_values > 0:
             gamma_1 = self.param(
                 "gamma_1", nn.initializers.constant(self.init_values), (dim,), jnp.float32
@@ -212,13 +235,13 @@ class CrossBlock(nn.Module):
                 y = y + bias.astype(self.dtype)
             return y
 
-        q = proj("q", xq, True).reshape(b, lq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        q = proj("q", xq, True).reshape(b, lq, self.num_heads, head_dim)
         # k-bias frozen at zero in the reference (modeling_pretrain_moco_mim_ori.py:38)
-        k = proj("k", kv_n, False).reshape(b, lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        v = proj("v", kv_n, True).reshape(b, lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = proj("k", kv_n, False).reshape(b, lk, self.num_heads, head_dim)
+        v = proj("v", kv_n, True).reshape(b, lk, self.num_heads, head_dim)
 
         attn = multi_head_attention(q, k, v)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, lq, dim)
+        attn = attn.reshape(b, lq, dim)
         attn = nn.Dense(dim, dtype=self.dtype, kernel_init=xavier_uniform_init, name="proj")(attn)
         # The reference's residual adds onto the *normalized* q (its Block
         # overwrites x with norm1(x) before the residual sum).

@@ -87,14 +87,21 @@ class RecModel(nn.Module):
         return self.encoder(images, deterministic=deterministic)
 
     def recognize(self, images, beam_width: int = 0, eos: int = 94):
-        """Inference: greedy (KV-cached scan) or beam search.
-        Returns (probs [B, T, C] or None, ids [B, T])."""
+        """Inference: greedy or beam search.
+        Returns (probs [B, T, C] or None, ids [B, T]).
+
+        Greedy uses the dense full-prefix variant on TPU (MXU-friendly
+        shapes) and the KV-cached scan elsewhere — both are numerically
+        the same decode (tests/test_decoder.py)."""
+        import jax as _jax
+
         dec_in = self._encode(images, True)
         if beam_width > 0:
             ids = self.decoder.beam_search(dec_in, beam_width, eos)
             return None, ids
-        probs, ids = self.decoder.greedy_decode(dec_in)
-        return probs, ids
+        if _jax.default_backend() == "tpu":
+            return self.decoder.greedy_decode_dense(dec_in)
+        return self.decoder.greedy_decode(dec_in)
 
 
 class CTCRecModel(nn.Module):
@@ -253,6 +260,7 @@ def build_rec_model(
     drop_path_rate: float = 0.0,
     use_1d_attdec: bool = False,
     use_mean_pooling: bool = True,
+    use_feat_distill: bool = False,
     dtype=jnp.float32,
     model_kind: str = "rec",  # rec | ctc | attn
 ) -> nn.Module:
@@ -273,4 +281,5 @@ def build_rec_model(
         return AttnRecModel(encoder=encoder, nb_classes=nb_classes, max_len=max_len, dtype=dtype)
     decoder = create_decoder(decoder_name, nb_classes, max_len,
                              encoder_dim=encoder.embed_dim, dtype=dtype)
-    return RecModel(encoder=encoder, decoder=decoder, use_1d_attdec=use_1d_attdec, dtype=dtype)
+    return RecModel(encoder=encoder, decoder=decoder, use_1d_attdec=use_1d_attdec,
+                    use_feat_distill=use_feat_distill, dtype=dtype)

@@ -7,13 +7,22 @@ sequences are short (256 visual tokens, <=26 text tokens) so one block per
 (batch, head) covers the full sequence and the kernel is a single
 MXU->VPU->MXU pipeline with no HBM round-trip for the scores.
 
-A jnp fallback with identical semantics is used for CPU tests, tiny
-shapes, and whenever a bias/mask layout is not supported by the kernel.
+Layout: q/k/v are [B, L, H, D] — the natural output of the qkv projection
+reshape — and the kernel grid is (B, H) with BlockSpecs slicing the head
+axis directly.  This avoids the [B,L,H,D] -> [B,H,L,D] transposes that
+XLA would otherwise materialize as copies (measured ~16% of the pretrain
+step before this layout change).
+
+A jnp fallback with identical semantics is used for CPU tests, masked
+attention, short queries (where the kernel's fixed overhead loses to
+XLA fusions) and a custom VJP provides a fused backward kernel that
+recomputes the softmax in VMEM (flash-attention style).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,85 +35,91 @@ except Exception:  # pragma: no cover
 
 
 def _ref_attention(q, k, v, mask, scale):
-    """[B, H, Lq, D] x [B, H, Lk, D] reference attention in fp32 softmax."""
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    """[B, Lq, H, D] x [B, Lk, H, D] reference attention, fp32 softmax."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
     logits = logits.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
     weights = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    logits = logits * scale
-    weights = jax.nn.softmax(logits, axis=-1)
-    o_ref[0] = jax.lax.dot_general(
-        weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim):
+    """All heads of one batch row.  Refs are [1, L, H*D]; heads are
+    static column slices, so q/k/v stay in their projection layout and the
+    caller never transposes."""
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        weights = jax.nn.softmax(logits * scale, axis=-1)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
-    """Fused backward for one (batch*head) slice: recompute the softmax in
-    VMEM (flash-attention style; cheaper than storing the [Lq, Lk] weights
-    to HBM) and produce dq/dk/dv with four MXU matmuls."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    w = jax.nn.softmax(logits, axis=-1)  # [Lq, Lk] fp32
-    wt = w.astype(v.dtype)
-    dv_ref[0] = jax.lax.dot_general(
-        wt, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-    dw = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-    ds = ds.astype(q.dtype)
-    dq_ref[0] = (
-        jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    ).astype(dq_ref.dtype)
-    dk_ref[0] = (
-        jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    ).astype(dk_ref.dtype)
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale, num_heads, head_dim):
+    """Fused backward for one batch row: recompute the softmax in VMEM
+    (cheaper than storing the [Lq, Lk] weights to HBM), four MXU matmuls
+    per head."""
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        w = jax.nn.softmax(logits, axis=-1)  # [Lq, Lk] fp32
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            w.astype(v.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dw = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))).astype(q.dtype)
+        dq_ref[0, :, sl] = (
+            jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (
+            jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        ).astype(dk_ref.dtype)
+
+
+def _row_specs(lq, lk, c):
+    spec_q = pl.BlockSpec((1, lq, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, lk, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return spec_q, spec_k
 
 
 def _pallas_attention_fwd_impl(q, k, v, scale):
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
-    bh = b * h
-    qf = q.reshape(bh, lq, d)
-    kf = k.reshape(bh, lk, d)
-    vf = v.reshape(bh, lk, d)
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    c = h * d
+    spec_q, spec_k = _row_specs(lq, lk, c)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        grid=(bh,),
-        in_specs=[
-            pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        functools.partial(_attn_kernel, scale=scale, num_heads=h, head_dim=d),
+        grid=(b,),
+        in_specs=[spec_q, spec_k, spec_k],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((b, lq, c), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bh * lq * lk * d * 2,
-            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
-            transcendentals=bh * lq * lk,
+            flops=4 * b * h * lq * lk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
         ),
-    )(qf, kf, vf)
-    return out.reshape(b, h, lq, d)
+    )(q.reshape(b, lq, c), k.reshape(b, lk, c), v.reshape(b, lk, c))
+    return out.reshape(b, lq, h, d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -118,30 +133,27 @@ def _pallas_attention_fwd(q, k, v, scale):
 
 def _pallas_attention_bwd(scale, res, g):
     q, k, v = res
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
-    bh = b * h
-    spec_q = pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_k = pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    c = h * d
+    spec_q, spec_k = _row_specs(lq, lk, c)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
-        grid=(bh,),
+        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=h, head_dim=d),
+        grid=(b,),
         in_specs=[spec_q, spec_k, spec_k, spec_q],
         out_specs=(spec_q, spec_k, spec_k),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, lk, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, lk, d), v.dtype),
+            jax.ShapeDtypeStruct((b, lq, c), q.dtype),
+            jax.ShapeDtypeStruct((b, lk, c), k.dtype),
+            jax.ShapeDtypeStruct((b, lk, c), v.dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * bh * lq * lk * d,
-            bytes_accessed=4 * bh * lq * d * q.dtype.itemsize,
-            transcendentals=bh * lq * lk,
+            flops=8 * b * h * lq * lk * d,
+            bytes_accessed=4 * b * lq * c * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
         ),
-    )(
-        q.reshape(bh, lq, d), k.reshape(bh, lk, d), v.reshape(bh, lk, d),
-        g.reshape(bh, lq, d),
-    )
+    )(q.reshape(b, lq, c), k.reshape(b, lk, c), v.reshape(b, lk, c),
+      g.reshape(b, lq, c))
     return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
 
 
@@ -149,23 +161,52 @@ _pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 
 
 def _use_pallas(q, k, mask) -> bool:
+    if os.environ.get("DIG_TPU_NO_PALLAS"):
+        return False
     if mask is not None:
         return False
     if jax.default_backend() != "tpu":
         return False
-    _, _, lq, d = q.shape
-    lk = k.shape[2]
-    # One (lq, lk) fp32 score tile + q/k/v/o must fit comfortably in VMEM.
+    _, lq, _, d = q.shape
+    lk = k.shape[1]
+    # short queries (e.g. the 4-window pooling cross-attn) are faster as
+    # plain XLA fusions than as 1-per-(b,h) kernel launches
+    if lq < 128 or lk < 128:
+        return False
     if d % 128 != 0 and d not in (32, 64):
         return False
-    return lq * lk * 4 + 4 * max(lq, lk) * d * 4 < 8 * 1024 * 1024
+    # q/k/v/o rows [L, H*D] + one (lq, lk) fp32 score tile must fit in VMEM.
+    h = q.shape[2]
+    c = h * d
+    return lq * lk * 4 + 4 * max(lq, lk) * c * q.dtype.itemsize < 8 * 1024 * 1024
 
 
 def multi_head_attention(q, k, v, mask=None, scale=None):
-    """Batched MHA core: inputs [B, H, L, D]; optional boolean mask
-    broadcastable to [B, H, Lq, Lk] (True = attend)."""
+    """Batched MHA core.  Inputs are [B, L, H, D] (heads NOT transposed to
+    the front); optional boolean mask broadcastable to [B, H, Lq, Lk]
+    (True = attend).  Returns [B, Lq, H, D]."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if _use_pallas(q, k, mask):
         return _pallas_attention(q, k, v, scale)
     return _ref_attention(q, k, v, mask, scale)
+
+
+def multi_head_attention_packed(q, k, v, num_heads: int, mask=None, scale=None):
+    """Same core but on packed [B, L, H*D] tensors — the natural layout of
+    column-sliced fused-qkv projections.  Avoids any head reshape/copy on
+    the Pallas path.  Returns [B, Lq, H*D]."""
+    b, lq, c = q.shape
+    lk = k.shape[1]
+    d = c // num_heads
+    if scale is None:
+        scale = d**-0.5
+    q4 = q.reshape(b, lq, num_heads, d)
+    k4 = k.reshape(b, lk, num_heads, d)
+    if _use_pallas(q4, k4, mask):
+        return _pallas_attention(
+            q4, k4, v.reshape(b, lk, num_heads, d), scale
+        ).reshape(b, lq, c)
+    return _ref_attention(
+        q4, k4, v.reshape(b, lk, num_heads, d), mask, scale
+    ).reshape(b, lq, c)

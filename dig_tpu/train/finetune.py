@@ -43,16 +43,10 @@ def make_finetune_step(model, smoothing: float = 0.1, mesh=None, update_freq: in
                 loss = seq_cross_entropy(logits, targets, lens)
             return loss, logits
 
+        import optax
+
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        metrics = {
-            "loss": loss,
-            "grad_norm": jnp.sqrt(
-                sum(
-                    jnp.sum(g.astype(jnp.float32) ** 2)
-                    for g in jax.tree_util.tree_leaves(grads)
-                )
-            ),
-        }
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         pred_ids = jnp.argmax(logits, axis=-1)
         new_state = state.apply_gradients(grads)
         return new_state, metrics, pred_ids
@@ -92,14 +86,14 @@ def make_distill_finetune_step(model, teacher_params, smoothing: float = 0.1,
             huber = jnp.where(diff < beta, 0.5 * diff**2 / beta, diff - 0.5 * beta)
             loss_distill = jnp.mean(huber)
             loss = loss_rec + loss_weight_feat_distill * loss_distill
-            return loss, (loss_rec, loss_distill)
+            return loss, (loss_rec, loss_distill, logits)
 
-        (loss, (loss_rec, loss_distill)), grads = jax.value_and_grad(
+        (loss, (loss_rec, loss_distill, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         new_state = state.apply_gradients(grads)
-        return new_state, {"loss": loss, "loss_rec": loss_rec,
-                           "loss_distill": loss_distill}
+        metrics = {"loss": loss, "loss_rec": loss_rec, "loss_distill": loss_distill}
+        return new_state, metrics, jnp.argmax(logits, axis=-1)
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=0)

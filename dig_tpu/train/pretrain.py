@@ -159,9 +159,11 @@ def make_pretrain_step(
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        metrics["grad_norm"] = jnp.sqrt(
-            sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree_util.tree_leaves(grads))
-        )
+        # structurally identical to the optimizer's internal clip norm so
+        # XLA CSEs the two into one reduction pass
+        import optax
+
+        metrics["grad_norm"] = optax.global_norm(grads)
         metrics["moco_m"] = m
         new_state = state.apply_gradients(grads, ema_params=new_ema)
         return new_state, metrics

@@ -87,6 +87,14 @@ def test_greedy_cached_matches_uncached(dec_and_vars):
     assert np.allclose(np.asarray(probs_c), probs_u, atol=3e-3)
 
 
+def test_greedy_dense_matches_cached(dec_and_vars):
+    dec, variables, enc = dec_and_vars
+    probs_c, ids_c = dec.apply(variables, enc, method=dec.greedy_decode)
+    probs_d, ids_d = dec.apply(variables, enc, method=dec.greedy_decode_dense)
+    assert np.array_equal(np.asarray(ids_c), np.asarray(ids_d))
+    assert np.allclose(np.asarray(probs_c), np.asarray(probs_d), atol=3e-3)
+
+
 def test_greedy_jits(dec_and_vars):
     dec, variables, enc = dec_and_vars
     fn = jax.jit(lambda v, e: dec.apply(v, e, method=dec.greedy_decode))

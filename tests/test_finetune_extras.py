@@ -77,9 +77,10 @@ def test_distill_step():
     teacher_params = jax.tree_util.tree_map(jnp.copy, state.params)
     step_fn = make_distill_finetune_step(student, teacher_params, smoothing=0.1)
     batch = make_batch()
-    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    state, metrics, pred_ids = step_fn(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["loss_distill"]) >= 0.0
+    assert pred_ids.shape == batch["targets"].shape
 
 
 def test_ctc_step_learns():
