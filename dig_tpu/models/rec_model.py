@@ -192,6 +192,29 @@ class MimRecModel(nn.Module):
         return out
 
 
+class SeqClsTokenRecModel(nn.Module):
+    """Non-autoregressive recognizer: the encoder's learned per-position
+    class queries are classified directly (reference --use_seq_cls_token
+    path: engine_for_finetuning.py:27-28 with `vit_seq_cls_*` encoders,
+    modeling_finetune.py:249-255, :335-352).  One parallel forward both at
+    train and eval — no decode loop."""
+
+    encoder: nn.Module  # must be built with use_seq_cls_token=True
+    nb_classes: int = 97
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, targets=None, tgt_lens=None,
+                 deterministic: bool = False):
+        cls_tokens = self.encoder(images, deterministic=deterministic)  # [B, T, C]
+        return nn.Dense(self.nb_classes, dtype=self.dtype, name="head")(cls_tokens)
+
+    def recognize(self, images, beam_width: int = 0, eos: int = 94):
+        logits = self(images, deterministic=True)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return probs, jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+
 class MultiLabelHead(nn.Module):
     """Class-query attention pooling producing per-character presence
     logits and the class-query attention maps consumed by the decoupled
@@ -279,6 +302,15 @@ def build_rec_model(
         return CTCRecModel(encoder=encoder, nb_classes=nb_classes, dtype=dtype)
     if model_kind == "attn":
         return AttnRecModel(encoder=encoder, nb_classes=nb_classes, max_len=max_len, dtype=dtype)
+    if model_kind == "seq_cls":
+        if not getattr(encoder, "use_seq_cls_token", False):
+            encoder = create_model(
+                model_name, drop_rate=drop_rate, attn_drop_rate=attn_drop_rate,
+                drop_path_rate=drop_path_rate, use_mean_pooling=use_mean_pooling,
+                return_feat_map=True, use_seq_cls_token=True, max_seq_len=max_len,
+                dtype=dtype,
+            )
+        return SeqClsTokenRecModel(encoder=encoder, nb_classes=nb_classes, dtype=dtype)
     decoder = create_decoder(decoder_name, nb_classes, max_len,
                              encoder_dim=encoder.embed_dim, dtype=dtype)
     return RecModel(encoder=encoder, decoder=decoder, use_1d_attdec=use_1d_attdec,

@@ -44,61 +44,77 @@ def _ref_attention(q, k, v, mask, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim):
-    """All heads of one batch row.  Refs are [1, L, H*D]; heads are
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim,
+                 rows):
+    """All heads of `rows` batch rows.  Refs are [rows, L, H*D]; heads are
     static column slices, so q/k/v stay in their projection layout and the
     caller never transposes."""
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        weights = jax.nn.softmax(logits * scale, axis=-1)
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+    for r in range(rows):
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            q = q_ref[r, :, sl]
+            k = k_ref[r, :, sl]
+            v = v_ref[r, :, sl]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            weights = jax.nn.softmax(logits * scale, axis=-1)
+            o_ref[r, :, sl] = jax.lax.dot_general(
+                weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                     *, scale, num_heads, head_dim):
-    """Fused backward for one batch row: recompute the softmax in VMEM
+                     *, scale, num_heads, head_dim, rows):
+    """Fused backward for `rows` batch rows: recompute the softmax in VMEM
     (cheaper than storing the [Lq, Lk] weights to HBM), four MXU matmuls
     per head."""
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        do = do_ref[0, :, sl]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        w = jax.nn.softmax(logits, axis=-1)  # [Lq, Lk] fp32
-        dv_ref[0, :, sl] = jax.lax.dot_general(
-            w.astype(v.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dv_ref.dtype)
-        dw = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))).astype(q.dtype)
-        dq_ref[0, :, sl] = (
-            jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        ).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = (
-            jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        ).astype(dk_ref.dtype)
+    for r in range(rows):
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            q = q_ref[r, :, sl]
+            k = k_ref[r, :, sl]
+            v = v_ref[r, :, sl]
+            do = do_ref[r, :, sl]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            w = jax.nn.softmax(logits, axis=-1)  # [Lq, Lk] fp32
+            dv_ref[r, :, sl] = jax.lax.dot_general(
+                w.astype(v.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+            dw = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))).astype(q.dtype)
+            dq_ref[r, :, sl] = (
+                jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            ).astype(dq_ref.dtype)
+            dk_ref[r, :, sl] = (
+                jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            ).astype(dk_ref.dtype)
 
 
-def _row_specs(lq, lk, c):
-    spec_q = pl.BlockSpec((1, lq, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-    spec_k = pl.BlockSpec((1, lk, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+def _pick_rows(b, lq, lk, c, itemsize):
+    """Rows per program.  Measured on v5e: single-row blocks pipeline best
+    for the ViT geometry (multi-row blocks reduce DMA/compute overlap),
+    so stay at 1 unless the row is tiny."""
+    per_row = (2 * lq + 2 * lk) * c * itemsize
+    if per_row >= 256 * 1024:
+        return 1
+    rows = max(1, min(8, (256 * 1024) // max(per_row, 1)))
+    while b % rows:
+        rows -= 1
+    return rows
+
+
+def _row_specs(lq, lk, c, rows):
+    spec_q = pl.BlockSpec((rows, lq, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((rows, lk, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     return spec_q, spec_k
 
 
@@ -106,10 +122,12 @@ def _pallas_attention_fwd_impl(q, k, v, scale):
     b, lq, h, d = q.shape
     lk = k.shape[1]
     c = h * d
-    spec_q, spec_k = _row_specs(lq, lk, c)
+    rows = _pick_rows(b, lq, lk, c, q.dtype.itemsize)
+    spec_q, spec_k = _row_specs(lq, lk, c, rows)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, num_heads=h, head_dim=d),
-        grid=(b,),
+        functools.partial(_attn_kernel, scale=scale, num_heads=h, head_dim=d,
+                          rows=rows),
+        grid=(b // rows,),
         in_specs=[spec_q, spec_k, spec_k],
         out_specs=spec_q,
         out_shape=jax.ShapeDtypeStruct((b, lq, c), q.dtype),
@@ -136,10 +154,15 @@ def _pallas_attention_bwd(scale, res, g):
     b, lq, h, d = q.shape
     lk = k.shape[1]
     c = h * d
-    spec_q, spec_k = _row_specs(lq, lk, c)
+    # bwd keeps 7 row-blocks live (4 in + 3 out): half the fwd row count
+    rows = max(1, _pick_rows(b, lq, lk, c, q.dtype.itemsize) // 2)
+    while b % rows:
+        rows -= 1
+    spec_q, spec_k = _row_specs(lq, lk, c, rows)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=h, head_dim=d),
-        grid=(b,),
+        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=h, head_dim=d,
+                          rows=rows),
+        grid=(b // rows,),
         in_specs=[spec_q, spec_k, spec_k, spec_q],
         out_specs=(spec_q, spec_k, spec_k),
         out_shape=(
