@@ -112,11 +112,20 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset):
         n_total += n
         f_sum += f * n
         loss_sum += float(loss) * n
+    if jax.process_count() > 1:
+        # cross-host metric reduction (≙ metric_logger.synchronize_between_processes,
+        # engine_for_finetuning.py:276)
+        from jax.experimental import multihost_utils
+
+        sums = multihost_utils.process_allgather(
+            np.array([n_correct, n_total, f_sum, loss_sum])
+        )
+        n_correct, n_total, f_sum, loss_sum = sums.sum(axis=0)
     acc = n_correct / max(n_total, 1)
-    print(f"* {data_path}: {n_total} images, Acc {acc:.4f} "
+    print(f"* {data_path}: {int(n_total)} images, Acc {acc:.4f} "
           f"loss {loss_sum / max(n_total, 1):.4f} "
           f"Rec_fmeasure {f_sum / max(n_total, 1):.4f}")
-    return {"acc": acc, "n": n_total, "fmeasure": f_sum / max(n_total, 1)}
+    return {"acc": acc, "n": int(n_total), "fmeasure": f_sum / max(n_total, 1)}
 
 
 def main(cfg: FinetuneConfig):
@@ -187,6 +196,11 @@ def main(cfg: FinetuneConfig):
         frozen=frozen_encoder_mask(cfg.fixed_encoder_layers)
         if cfg.fixed_encoder_layers > 0 else None,
     )
+    if cfg.update_freq > 1:
+        # gradient accumulation (--update_freq; engine_for_finetuning.py:84-140)
+        import optax
+
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.update_freq)
     state = init_finetune_state(model, tx, jax.random.PRNGKey(cfg.seed),
                                 max_len=cfg.max_len)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))

@@ -140,6 +140,8 @@ class AttnRecModel(nn.Module):
 
     def recognize(self, images, beam_width: int = 0, eos: int = 94):
         enc = self.encoder(images, deterministic=True)
+        if beam_width > 0:
+            return None, self.decoder.beam_search(enc, beam_width, eos)
         probs, ids = self.decoder.sample(enc)
         return probs, ids
 

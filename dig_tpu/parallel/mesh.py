@@ -62,6 +62,36 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def tp_param_shardings(mesh: Mesh, params):
+    """Megatron-style tensor-parallel sharding rules for the ViT blocks:
+    qkv / MLP-up kernels column-sharded, proj / MLP-down kernels
+    row-sharded over the ``tensor`` axis.  GSPMD inserts the activation
+    collectives.  Composes with `fsdp_param_shardings` (applied first,
+    TP rules override where they match)."""
+    n_tp = mesh.shape["tensor"]
+
+    def path_str(path):
+        return "/".join(str(getattr(p, "key", p)) for p in path)
+
+    def rule(path, leaf):
+        name = path_str(path)
+        if n_tp == 1 or leaf.ndim < 2:
+            return NamedSharding(mesh, P())
+        col = ("qkv_kernel", "mlp/Dense_0/kernel", "linear_q/kernel",
+               "linear_k/kernel", "linear_v/kernel", "w_1/kernel")
+        row = ("attn/proj/kernel", "mlp/Dense_1/kernel", "fc/kernel",
+               "w_2/kernel")
+        if any(name.endswith(c) or c in name for c in col):
+            if leaf.shape[-1] % n_tp == 0:
+                return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["tensor"])))
+        if any(name.endswith(r) or r in name for r in row):
+            if leaf.shape[0] % n_tp == 0:
+                return NamedSharding(mesh, P(*(["tensor"] + [None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def fsdp_param_shardings(mesh: Mesh, params, min_size: int = 2**16):
     """ZeRO-3-style rule: shard the largest axis of big >=2-D params over
     the ``fsdp`` axis when divisible; small params stay replicated."""

@@ -56,6 +56,31 @@ def test_pretrain_cli_one_epoch(fixture_lmdb, tmp_path):
     assert os.path.exists(str(tmp_path / "out" / "log.txt"))
 
 
+def test_finetune_from_pretrain_checkpoint(fixture_lmdb, tmp_path):
+    """Pretrain 1 epoch, then initialize the recognizer encoder from the
+    SSL checkpoint via --finetune (exercises merge_pretrained_encoder)."""
+    from dig_tpu.cli.run_finetune import main as ft_main
+    from dig_tpu.cli.run_pretrain import main as pre_main
+    from dig_tpu.config import FinetuneConfig, PretrainConfig
+
+    pre_out = str(tmp_path / "pre")
+    pre_main(PretrainConfig(
+        model="pretrain_simmim_moco_ori_vit_micro_patch4_32x128",
+        image_alone_path=[fixture_lmdb], batch_size=1, epochs=1,
+        warmup_steps=2, moco_mlp_dim=32, moco_dim=16, num_windows=4,
+        num_workers=2, output_dir=pre_out, eval_freq=0, dtype="float32",
+    ))
+    ft_out = str(tmp_path / "ft2")
+    ft_main(FinetuneConfig(
+        model="vit_micro_patch4_32x128", decoder_name="small_tf_decoder",
+        finetune=pre_out + "/checkpoint-0",
+        data_path=[fixture_lmdb], eval_data_path="", batch_size=1, epochs=1,
+        warmup_epochs=0, num_workers=2, output_dir=ft_out, eval_freq=0,
+        dtype="float32",
+    ))
+    assert os.path.isdir(os.path.join(ft_out, "checkpoint-0"))
+
+
 def test_finetune_cli_train_and_eval(fixture_lmdb, tmp_path):
     from dig_tpu.cli.run_finetune import main
     from dig_tpu.config import FinetuneConfig

@@ -223,3 +223,21 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 7
     assert np.allclose(np.asarray(restored.params["w"]), 2.0)
     assert extra["epoch"] == 3
+
+
+def test_gru_beam_search():
+    head = AttentionRecognitionHead(num_classes=12, s_dim=16, att_dim=16,
+                                    max_len_labels=5)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
+    targets = jnp.zeros((2, 5), jnp.int32)
+    v = head.init(jax.random.PRNGKey(1), x, targets)
+    # beam-1 equals greedy up to the first EOS freeze
+    _, ids_g = head.apply(v, x, method=head.sample)
+    ids_b = head.apply(v, x, 1, 9, method=head.beam_search)
+    g, bm = np.asarray(ids_g), np.asarray(ids_b)
+    for rg, rb in zip(g, bm):
+        hits = np.where(rg == 9)[0]
+        stop = (hits[0] + 1) if len(hits) else len(rg)
+        assert np.array_equal(rg[:stop], rb[:stop])
+    ids3 = head.apply(v, x, 3, 9, method=head.beam_search)
+    assert ids3.shape == (2, 5)

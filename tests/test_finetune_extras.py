@@ -122,3 +122,28 @@ def test_seq_cls_rec_model_with_decoupled_decoder():
         v, batch["images"], batch["targets"], batch["lengths"], True)
     assert logits.shape == (2, 5, 12)
     assert cls_logit.shape == (2, 12)
+
+
+def test_update_freq_accumulation():
+    """optax.MultiSteps-wrapped optimizer applies updates every k steps."""
+    import optax
+
+    model = RecModel(encoder=tiny_enc(), decoder=tiny_dec())
+    lr = cosine_schedule(1e-2, 1e-3, 1, 4)
+    tx = optax.MultiSteps(make_optimizer(lr), every_k_schedule=2)
+    state = init_finetune_state(model, tx, jax.random.PRNGKey(0), max_len=5)
+    from dig_tpu.train.finetune import make_finetune_step
+
+    step_fn = make_finetune_step(model, smoothing=0.0)
+    batch = make_batch()
+    p0 = jax.device_get(state.params)
+
+    def tdiff(a, b):
+        return sum(float(np.abs(np.asarray(x) - np.asarray(y)).sum())
+                   for x, y in zip(jax.tree_util.tree_leaves(a),
+                                   jax.tree_util.tree_leaves(b)))
+
+    state, _, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert tdiff(p0, jax.device_get(state.params)) == 0.0  # accumulating
+    state, _, _ = step_fn(state, batch, jax.random.PRNGKey(2))
+    assert tdiff(p0, jax.device_get(state.params)) > 0.0  # applied
