@@ -148,21 +148,26 @@ def main(cfg: PretrainConfig):
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
     print_freq = 100
 
+    from dig_tpu.data.pipeline import device_prefetch
+
+    def to_device(item):
+        ori, aug, mask = item
+        if view_fn is not None:
+            return shard_batch(mesh, {"images": ori})
+        return shard_batch(mesh, {"images": ori, "aug_images": aug, "mask": mask})
+
     for epoch in range(start_epoch, cfg.epochs):
         sampler.set_epoch(epoch)
         logger = MetricLogger()
         header = f"Epoch: [{epoch}]"
-        for it, (ori, aug, mask) in enumerate(
-            logger.log_every(loader, print_freq, header, total=steps_per_epoch)
+        batches = device_prefetch(iter(loader), to_device)
+        for it, batch in enumerate(
+            logger.log_every(batches, print_freq, header, total=steps_per_epoch)
         ):
             step_rng, sub = jax.random.split(step_rng)
             if view_fn is not None:
                 step_rng, vsub = jax.random.split(step_rng)
-                batch = view_fn(vsub, shard_batch(mesh, {"images": ori})["images"])
-            else:
-                batch = shard_batch(mesh, {
-                    "images": ori, "aug_images": aug, "mask": mask,
-                })
+                batch = view_fn(vsub, batch["images"])
             state, metrics = step_fn(state, batch, sub)
             if it % print_freq == 0 or it == steps_per_epoch - 1:
                 host_metrics = {k: float(v) for k, v in metrics.items()}

@@ -28,6 +28,22 @@ def _stack(samples):
     return np.stack(samples)
 
 
+def device_prefetch(iterator, to_device: Callable, depth: int = 2):
+    """Double-buffer batches onto the device: keep `depth` batches in
+    flight so the H2D copy of batch N+1 overlaps the compute of batch N
+    (the reference relies on pinned-memory non_blocking copies for this;
+    engine_for_pretraining_moco.py:77-80)."""
+    import collections
+
+    queue_ = collections.deque()
+    for item in iterator:
+        queue_.append(to_device(item))
+        if len(queue_) >= depth:
+            yield queue_.popleft()
+    while queue_:
+        yield queue_.popleft()
+
+
 class DataLoader:
     """Minimal threaded loader: sampler -> fetch pool -> prefetch queue.
 
