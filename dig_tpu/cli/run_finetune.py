@@ -187,10 +187,10 @@ def main(cfg: FinetuneConfig):
     )
     wd_sched = cosine_schedule(cfg.weight_decay, cfg.weight_decay_end,
                                cfg.epochs, steps_per_epoch)
-    from dig_tpu.optim import frozen_encoder_mask
+    from dig_tpu.optim import create_optimizer, frozen_encoder_mask
 
-    tx = make_optimizer(
-        lr_sched, wd_sched, betas=cfg.opt_betas, eps=cfg.opt_eps,
+    tx = create_optimizer(
+        cfg.opt, lr_sched, wd_sched, betas=cfg.opt_betas, eps=cfg.opt_eps,
         clip_grad=cfg.clip_grad, layer_decay=cfg.layer_decay,
         num_layers=model.encoder.depth,
         frozen=frozen_encoder_mask(cfg.fixed_encoder_layers)

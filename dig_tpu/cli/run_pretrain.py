@@ -107,8 +107,10 @@ def main(cfg: PretrainConfig):
     )
 
     model = build_model(cfg)
-    tx = make_optimizer(
-        lr_sched, wd_sched, betas=cfg.opt_betas, eps=cfg.opt_eps,
+    from dig_tpu.optim import create_optimizer
+
+    tx = create_optimizer(
+        cfg.opt, lr_sched, wd_sched, betas=cfg.opt_betas, eps=cfg.opt_eps,
         clip_grad=cfg.clip_grad,
     )
     state = init_pretrain_state(model, tx, jax.random.PRNGKey(cfg.seed))

@@ -97,63 +97,16 @@ def make_optimizer(
     extra_no_decay: Callable = None,
     frozen: Callable = None,
 ) -> optax.GradientTransformation:
-    """AdamW with schedule-driven LR/WD, masked decay and layer-wise LR.
+    """AdamW (the reference's default) with schedule-driven LR/WD, masked
+    decay and layer-wise LR — a thin alias of `create_optimizer`.
 
     `lr_schedule` / `wd_schedule` are numpy arrays indexed by step (the
-    reference's precomputed cosine arrays, utils/utils.py:522-538).
-    Decay masks and layer scales are derived from the parameter tree at
-    trace time (they are static per-leaf Python values).
-    """
-    lr_arr = jnp.asarray(lr_schedule, jnp.float32)
-    wd_arr = None if wd_schedule is None else jnp.asarray(wd_schedule, jnp.float32)
-
-    def masks_for(params):
-        decay_mask = jax.tree_util.tree_map_with_path(
-            lambda p, l: not is_no_decay(p, l)
-            and not (extra_no_decay and extra_no_decay(p, l)),
-            params,
-        )
-        lr_scales = (
-            layer_scales(params, layer_decay, num_layers)
-            if layer_decay < 1.0
-            else jax.tree_util.tree_map(lambda _: 1.0, params)
-        )
-        if frozen is not None:
-            lr_scales = jax.tree_util.tree_map_with_path(
-                lambda p, s: 0.0 if frozen(p, None) else s, lr_scales
-            )
-        return decay_mask, lr_scales
-
-    adam = optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)
-
-    def init_fn(params):
-        return {"adam": adam.init(params), "count": jnp.zeros((), jnp.int32)}
-
-    def update_fn(grads, state, params):
-        decay_mask, lr_scales = masks_for(params)
-        step = state["count"]
-        if clip_grad is not None:
-            gnorm = optax.global_norm(grads)
-            factor = jnp.minimum(1.0, clip_grad / (gnorm + 1e-6))
-            grads = jax.tree_util.tree_map(lambda g: g * factor, grads)
-        updates, adam_state = adam.update(grads, state["adam"], params)
-        lr = lr_arr[jnp.minimum(step, lr_arr.shape[0] - 1)]
-        wd = (
-            wd_arr[jnp.minimum(step, wd_arr.shape[0] - 1)]
-            if wd_arr is not None
-            else jnp.float32(0.0)
-        )
-
-        def apply(u, p, use_decay, scale):
-            d = wd * p if use_decay else 0.0
-            return -(lr * scale) * (u + d)
-
-        updates = jax.tree_util.tree_map(
-            apply, updates, params, decay_mask, lr_scales
-        )
-        return updates, {"adam": adam_state, "count": step + 1}
-
-    return optax.GradientTransformation(init_fn, update_fn)
+    reference's precomputed cosine arrays, utils/utils.py:522-538)."""
+    return create_optimizer(
+        "adamw", lr_schedule, wd_schedule, betas=betas, eps=eps,
+        clip_grad=clip_grad, layer_decay=layer_decay, num_layers=num_layers,
+        extra_no_decay=extra_no_decay, frozen=frozen,
+    )
 
 
 def global_grad_norm(grads) -> jnp.ndarray:
@@ -211,12 +164,15 @@ def create_optimizer(
     layer_decay: float = 1.0,
     num_layers: int = 12,
     extra_no_decay: Callable = None,
+    frozen: Callable = None,
 ) -> optax.GradientTransformation:
     """General factory (≙ create_optimizer, optim_factory.py:103-187):
     any supported optimizer name with masked decoupled weight decay,
     layer-wise LR and schedule-driven LR/WD.  Decay is decoupled (AdamW
     style) for every optimizer — matching the reference's
-    get_parameter_groups treatment, where wd is applied per group."""
+    get_parameter_groups treatment, where wd is applied per group.
+    `frozen(path, leaf)` marks parameters whose lr scale is forced to 0
+    (≙ requires_grad=False layer freezing)."""
     lr_arr = jnp.asarray(lr_schedule, jnp.float32)
     wd_arr = None if wd_schedule is None else jnp.asarray(wd_schedule, jnp.float32)
     use_lookahead = opt_name.lower().startswith("lookahead_")
@@ -233,6 +189,10 @@ def create_optimizer(
             if layer_decay < 1.0
             else jax.tree_util.tree_map(lambda _: 1.0, params)
         )
+        if frozen is not None:
+            lr_scales = jax.tree_util.tree_map_with_path(
+                lambda p, s: 0.0 if frozen(p, None) else s, lr_scales
+            )
         return decay_mask, lr_scales
 
     def init_fn(params):

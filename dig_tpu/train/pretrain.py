@@ -69,16 +69,13 @@ def make_pretrain_step(
     only_mim_on_ori_img: bool = True,
     normalize_target: bool = True,
     mesh=None,
-    device_aug: bool = False,
-    mask_ratio: float = 0.7,
-    num_view: int = 2,
 ):
     mom_arr = jnp.asarray(momentum_schedule, jnp.float32)
     cw_arr = jnp.asarray(contrast_weight_schedule, jnp.float32)
 
     def train_step(state: TrainState, batch, rng):
         """batch: dict(images [B,H,W,3], aug_images [B,H,W,3],
-        mask [B, num_view, N] bool).  With ``device_aug`` the aug view and
+        mask [B, num_view, N] bool).  With --device_aug the aug view and
         masks come from the separately-jitted `make_device_view_fn` program
         (keeping the big train-step compile lean)."""
         images = batch["images"]
@@ -168,7 +165,6 @@ def make_pretrain_step(
         new_state = state.apply_gradients(grads, ema_params=new_ema)
         return new_state, metrics
 
-    del device_aug, mask_ratio, num_view  # handled by make_device_view_fn
     if mesh is None:
         return jax.jit(train_step, donate_argnums=0)
 
