@@ -100,7 +100,7 @@ class RecModel(nn.Module):
             ids = self.decoder.beam_search(dec_in, beam_width, eos)
             return None, ids
         if _jax.default_backend() == "tpu":
-            return self.decoder.greedy_decode_dense(dec_in)
+            return self.decoder.greedy_decode_dense(dec_in, eos=eos)
         return self.decoder.greedy_decode(dec_in)
 
 

@@ -128,3 +128,17 @@ def test_decoder_factory_variants():
     assert d.d_model == 384 and d.d_k == 48
     d = create_decoder("tf_decoder", num_classes=97, max_len=25)
     assert d.d_model == 512 and d.n_layers == 6
+
+
+def test_greedy_dense_early_exit_matches(dec_and_vars):
+    """Early-exit decode: identical ids/probs up to each sequence's first
+    EOS; positions after global termination are never read by metrics."""
+    dec, variables, enc = dec_and_vars
+    eos = dec.num_classes - 3
+    probs_f, ids_f = dec.apply(variables, enc, method=dec.greedy_decode_dense)
+    probs_e, ids_e = dec.apply(variables, enc, eos, method=dec.greedy_decode_dense)
+    f, e = np.asarray(ids_f), np.asarray(ids_e)
+    for row_f, row_e in zip(f, e):
+        hits = np.where(row_f == eos)[0]
+        stop = (hits[0] + 1) if len(hits) else len(row_f)
+        assert np.array_equal(row_f[:stop], row_e[:stop])
