@@ -33,6 +33,9 @@ try:  # pltpu is importable on CPU too; kernels only run on TPU backends.
 except Exception:  # pragma: no cover
     pltpu = None
 
+# test hook: run kernels in the Pallas interpreter (works on CPU)
+INTERPRET = False
+
 
 def _ref_attention(q, k, v, mask, scale):
     """[B, Lq, H, D] x [B, Lk, H, D] reference attention, fp32 softmax."""
@@ -128,6 +131,7 @@ def _pallas_attention_fwd_impl(q, k, v, scale):
         functools.partial(_attn_kernel, scale=scale, num_heads=h, head_dim=d,
                           rows=rows),
         grid=(b // rows,),
+        interpret=INTERPRET,
         in_specs=[spec_q, spec_k, spec_k],
         out_specs=spec_q,
         out_shape=jax.ShapeDtypeStruct((b, lq, c), q.dtype),
@@ -163,6 +167,7 @@ def _pallas_attention_bwd(scale, res, g):
         functools.partial(_attn_bwd_kernel, scale=scale, num_heads=h, head_dim=d,
                           rows=rows),
         grid=(b // rows,),
+        interpret=INTERPRET,
         in_specs=[spec_q, spec_k, spec_k, spec_q],
         out_specs=(spec_q, spec_k, spec_k),
         out_shape=(

@@ -26,6 +26,9 @@ try:
 except Exception:  # pragma: no cover
     pltpu = None
 
+# test hook: run kernels in the Pallas interpreter (works on CPU)
+INTERPRET = False
+
 _ROW_BLOCK = 512
 
 
@@ -80,6 +83,7 @@ def _pallas_ln_fwd_impl(x, gamma, beta, eps):
     out = pl.pallas_call(
         functools.partial(_ln_fwd_kernel, eps=eps),
         grid=grid,
+        interpret=INTERPRET,
         in_specs=[
             pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -110,6 +114,7 @@ def _pallas_ln_vjp_bwd(eps, res, g):
     dx, dg_part, db_part = pl.pallas_call(
         functools.partial(_ln_bwd_kernel, eps=eps),
         grid=(nblocks,),
+        interpret=INTERPRET,
         in_specs=[
             pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
