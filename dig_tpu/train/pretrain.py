@@ -69,6 +69,7 @@ def make_pretrain_step(
     only_mim_on_ori_img: bool = True,
     normalize_target: bool = True,
     mesh=None,
+    with_grad_norm: bool = True,
 ):
     mom_arr = jnp.asarray(momentum_schedule, jnp.float32)
     cw_arr = jnp.asarray(contrast_weight_schedule, jnp.float32)
@@ -156,11 +157,12 @@ def make_pretrain_step(
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        # structurally identical to the optimizer's internal clip norm so
-        # XLA CSEs the two into one reduction pass
-        import optax
+        if with_grad_norm:
+            # structurally identical to the optimizer's internal clip norm
+            # so XLA CSEs the two into one reduction pass
+            import optax
 
-        metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["grad_norm"] = optax.global_norm(grads)
         metrics["moco_m"] = m
         new_state = state.apply_gradients(grads, ema_params=new_ema)
         return new_state, metrics
