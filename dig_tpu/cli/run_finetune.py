@@ -81,7 +81,8 @@ def load_finetune_init(cfg: FinetuneConfig, state: TrainState) -> TrainState:
     return state.replace(params=params)
 
 
-def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset):
+def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
+                       accuracy_fn=None):
     """Greedy/beam decode over one benchmark LMDB; pads the last partial
     batch to keep shapes static (reference pads via sampler at
     run_class_finetuning.py:298-306)."""
@@ -106,7 +107,7 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset):
                  "lengths": jnp.asarray(lens)}
         ids, loss = eval_fn(params, batch)
         ids = np.asarray(ids)[:n]
-        acc = word_accuracy(ids, targets[:n], charset)
+        acc = (accuracy_fn or word_accuracy)(ids, targets[:n], charset)
         f = recognition_f_measure(ids, targets[:n], charset)
         n_correct += acc * n
         n_total += n
@@ -142,14 +143,22 @@ def main(cfg: FinetuneConfig):
         charset.num_classes, cfg.nb_classes)
 
     model = build_model(cfg)
-    eval_fn = make_eval_step(model, beam_width=cfg.beam_width, eos=charset.eos_id,
-                             mesh=mesh)
+    if cfg.model_kind == "ctc":
+        from dig_tpu.metrics.text import ctc_accuracy
+        from dig_tpu.train.finetune import make_ctc_eval_step
+
+        eval_fn = make_ctc_eval_step(model, mesh=mesh)
+        accuracy_fn = ctc_accuracy
+    else:
+        eval_fn = make_eval_step(model, beam_width=cfg.beam_width,
+                                 eos=charset.eos_id, mesh=mesh)
+        accuracy_fn = None
 
     if cfg.eval:
         # eval-only sweep over benchmarks
         tx = make_optimizer(np.array([0.0], np.float32))
         state = init_finetune_state(model, tx, jax.random.PRNGKey(cfg.seed),
-                                    max_len=cfg.max_len)
+                                    max_len=cfg.max_len, model_kind=cfg.model_kind)
         if cfg.finetune:
             state = load_finetune_init(cfg, state)
         elif cfg.resume:
@@ -157,7 +166,7 @@ def main(cfg: FinetuneConfig):
             state = state.replace(params=payload["params"])
         paths = [p for p in [cfg.eval_data_path] + list(cfg.other_test_data_folders) if p]
         results = [
-            dict(path=p, **evaluate_benchmark(cfg, model, state.params, p, eval_fn, charset))
+            dict(path=p, **evaluate_benchmark(cfg, model, state.params, p, eval_fn, charset, accuracy_fn))
             for p in paths
         ]
         total = sum(r["n"] for r in results)
@@ -202,7 +211,7 @@ def main(cfg: FinetuneConfig):
 
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.update_freq)
     state = init_finetune_state(model, tx, jax.random.PRNGKey(cfg.seed),
-                                max_len=cfg.max_len)
+                                max_len=cfg.max_len, model_kind=cfg.model_kind)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"params: {n_params / 1e6:.2f} M")
 
@@ -223,6 +232,10 @@ def main(cfg: FinetuneConfig):
             model, t_params, smoothing=cfg.smoothing,
             loss_weight_feat_distill=cfg.loss_weight_feat_distill, mesh=mesh,
         )
+    elif cfg.model_kind == "ctc":
+        from dig_tpu.train.finetune import make_ctc_step
+
+        step_fn = make_ctc_step(model, blank_id=cfg.nb_classes, mesh=mesh)
     else:
         step_fn = make_finetune_step(model, smoothing=cfg.smoothing, mesh=mesh)
     tb = TensorboardLogger(cfg.log_dir or os.path.join(cfg.output_dir, "tb"))
@@ -248,14 +261,21 @@ def main(cfg: FinetuneConfig):
                 if not math.isfinite(host_metrics["loss"]):
                     print(f"Loss is {host_metrics['loss']}, stopping training")
                     sys.exit(1)
-                host_metrics["class_acc"] = word_accuracy(
-                    np.asarray(pred_ids), targets, charset)
+                if cfg.model_kind == "ctc":
+                    from dig_tpu.metrics.text import ctc_accuracy
+
+                    host_metrics["class_acc"] = ctc_accuracy(
+                        np.asarray(pred_ids), targets, charset)
+                else:
+                    host_metrics["class_acc"] = word_accuracy(
+                        np.asarray(pred_ids), targets, charset)
                 logger.update(**host_metrics)
                 tb.update(head="loss", step=int(state.step), **host_metrics)
             if (cfg.eval_freq and it >= 1 and it % cfg.eval_freq == 0
                     and cfg.eval_data_path):
                 stats = evaluate_benchmark(cfg, model, state.params,
-                                           cfg.eval_data_path, eval_fn, charset)
+                                           cfg.eval_data_path, eval_fn, charset,
+                                           accuracy_fn)
                 if stats["acc"] > max_accuracy:
                     max_accuracy = stats["acc"]
                     if cfg.output_dir and cfg.save_ckpt:

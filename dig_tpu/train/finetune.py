@@ -20,12 +20,16 @@ from dig_tpu.train.state import TrainState
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def init_finetune_state(model, tx, rng, batch_size: int = 2, max_len: int = 25):
+def init_finetune_state(model, tx, rng, batch_size: int = 2, max_len: int = 25,
+                        model_kind: str = "rec"):
     img_size = model.encoder.img_size
     images = jnp.zeros((batch_size, *img_size, 3), jnp.float32)
-    targets = jnp.zeros((batch_size, max_len), jnp.int32)
-    lens = jnp.ones((batch_size,), jnp.int32)
-    variables = model.init(rng, images, targets, lens, True)
+    if model_kind == "ctc":
+        variables = model.init(rng, images, True)
+    else:
+        targets = jnp.zeros((batch_size, max_len), jnp.int32)
+        lens = jnp.ones((batch_size,), jnp.int32)
+        variables = model.init(rng, images, targets, lens, True)
     return TrainState.create(variables["params"], tx)
 
 
@@ -137,6 +141,21 @@ def make_ctc_step(model, blank_id: int, mesh=None):
     shardings = {"images": data, "targets": data, "lengths": data}
     return jax.jit(train_step, in_shardings=(None, shardings, NamedSharding(mesh, P())),
                    donate_argnums=0)
+
+
+def make_ctc_eval_step(model, mesh=None):
+    """CTC eval: per-frame argmax (collapse happens in the metric;
+    reference: evaluation_metric/metrics.py:205-251)."""
+
+    def eval_step(params, batch):
+        logits = model.apply({"params": params}, batch["images"], True)
+        return jnp.argmax(logits, axis=-1), jnp.float32(0.0)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    data = batch_sharding(mesh)
+    shardings = {"images": data, "targets": data, "lengths": data}
+    return jax.jit(eval_step, in_shardings=(None, shardings))
 
 
 def make_eval_step(model, beam_width: int = 0, eos: int = 94, mesh=None):

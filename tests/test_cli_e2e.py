@@ -119,3 +119,18 @@ def test_finetune_cli_train_and_eval(fixture_lmdb, tmp_path):
     assert len(results) == 2
     for r in results:
         assert 0.0 <= r["acc"] <= 1.0 and r["n"] == 16
+
+
+def test_ctc_cli_train_and_eval(fixture_lmdb, tmp_path):
+    """--model_kind ctc: CTC loss train loop + per-frame argmax eval."""
+    from dig_tpu.cli.run_finetune import main
+    from dig_tpu.config import FinetuneConfig
+
+    out = str(tmp_path / "ctc")
+    main(FinetuneConfig(
+        model="vit_micro_patch4_32x128", model_kind="ctc",
+        data_path=[fixture_lmdb], eval_data_path=fixture_lmdb,
+        batch_size=1, epochs=1, warmup_epochs=0, num_workers=2,
+        output_dir=out, eval_freq=0, dtype="float32",
+    ))
+    assert os.path.isdir(os.path.join(out, "checkpoint-0"))
