@@ -37,7 +37,7 @@ def eval_bench():
 
     n_chips = jax.device_count()
     batch = int(os.environ.get("BENCH_BATCH", "512")) * n_chips
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    steps = int(os.environ.get("BENCH_STEPS", "25"))
     model = build_rec_model("vit_small_patch4_32x128", "tf_decoder",
                             dtype=jnp.bfloat16)
     rngk = jax.random.PRNGKey(0)
@@ -45,22 +45,32 @@ def eval_bench():
     targets = jnp.zeros((batch, 25), jnp.int32)
     lens = jnp.ones((batch,), jnp.int32)
     variables = model.init(rngk, images[:2], targets[:2], lens[:2], True)
-    eval_fn = make_eval_step(model, beam_width=0, eos=94)
+    # eos=-1: fixed-length decode — stable/conservative on random weights
+    # (real checkpoints early-exit on EOS and run ~1.5-2x faster)
+    eval_fn = make_eval_step(model, beam_width=0, eos=-1)
     batch_d = {"images": images, "targets": targets, "lengths": lens}
 
     ids, loss = eval_fn(variables["params"], batch_d)
-    jax.block_until_ready(ids)
-    t0 = time.perf_counter()
+    float(loss)
+    times = []
     prev = ids
-    for _ in range(steps):
-        # chain a dependency through the images to defeat dispatch caching
+    for i in range(steps):
+        # every call must differ in VALUE: the remote relay memoizes
+        # value-identical dispatches (chain prev ids + a step-unique eps);
+        # per-step host fetches + median de-noise relay hiccups
         batch_d = dict(batch_d)
-        batch_d["images"] = batch_d["images"] + (prev[0, 0] * 0).astype(jnp.float32)
+        batch_d["images"] = (
+            batch_d["images"]
+            + (prev[0, 0] * 0).astype(jnp.float32)
+            + jnp.float32((i + 1) * 1e-6)
+        )
+        t0 = time.perf_counter()
         ids, loss = eval_fn(variables["params"], batch_d)
+        float(loss)
+        times.append(time.perf_counter() - t0)
         prev = ids
-    jax.block_until_ready(ids)
-    dt = time.perf_counter() - t0
-    per_chip = batch * steps / dt / n_chips
+    dt = sorted(times)[len(times) // 2]
+    per_chip = batch / dt / n_chips
     print(json.dumps({
         "metric": "eval_greedy_imgs_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -129,6 +139,8 @@ def main():
     # prior step is the only reliable completion barrier over remote relays
     float(metrics["loss"])
 
+    # pipelined window (state-chained steps defeat relay memoization and
+    # keep host dispatch overlapped with device compute)
     t0 = time.perf_counter()
     for i in range(steps):
         key, sub = jax.random.split(key)
@@ -137,8 +149,7 @@ def main():
     dt = time.perf_counter() - t0
     assert final_loss == final_loss, "NaN loss in benchmark"
 
-    imgs_per_sec = batch * steps / dt
-    per_chip = imgs_per_sec / n_chips
+    per_chip = batch * steps / dt / n_chips
     print(json.dumps({
         "metric": "pretrain_imgs_per_sec_per_chip",
         "value": round(per_chip, 2),

@@ -100,7 +100,10 @@ class RecModel(nn.Module):
             ids = self.decoder.beam_search(dec_in, beam_width, eos)
             return None, ids
         if _jax.default_backend() == "tpu":
-            return self.decoder.greedy_decode_dense(dec_in, eos=eos)
+            # eos < 0 disables early exit (fixed-length scan decode)
+            return self.decoder.greedy_decode_dense(
+                dec_in, eos=eos if eos >= 0 else None
+            )
         return self.decoder.greedy_decode(dec_in)
 
 
