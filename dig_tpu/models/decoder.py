@@ -428,6 +428,56 @@ class TFDecoder(nn.Module):
         return seqs
 
 
+
+
+    def beam_search_dense(self, enc_output, beam_width: int, eos: int = 94):
+        """Beam search via full-prefix recompute (same shape rationale as
+        `greedy_decode_dense`; scoring semantics identical to `beam_search`).
+        No KV caches to reorder — only the token buffer is gathered by
+        predecessor each step."""
+        b, n, c = enc_output.shape
+        k = beam_width
+        enc = jnp.repeat(enc_output, k, axis=0)
+        cross_kvs = self.prepare_cross(enc)
+        t_max = self.max_seq_len
+        causal = make_causal_mask(t_max)[:, None]
+
+        neg_inf = jnp.float32(-1e30)
+        scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, neg_inf)
+        finished = jnp.zeros((b * k,), bool)
+        tokens = jnp.zeros((b * k, t_max + 1), jnp.int32).at[:, 0].set(self.start_idx)
+
+        def body(carry, t):
+            tokens, scores, finished = carry
+            tgt = self._embed(tokens[:, :-1], True)
+            out = self._run_layers_cached_cross(tgt, cross_kvs, causal)
+            logits = self.classifier(
+                jax.lax.dynamic_slice_in_dim(out, t, 1, axis=1)[:, 0]
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            cont = jnp.where(
+                finished[:, None],
+                jnp.where(jnp.arange(self.num_classes)[None, :] == eos, 0.0, neg_inf),
+                logp,
+            )
+            cand = (scores[:, None] + cont).reshape(b, k * self.num_classes)
+            top_scores, top_idx = jax.lax.top_k(cand, k)
+            beam_idx = top_idx // self.num_classes
+            sym = (top_idx % self.num_classes).astype(jnp.int32)
+            flat = (beam_idx + jnp.arange(b)[:, None] * k).reshape(-1)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens[flat], sym.reshape(-1, 1), (0, t + 1)
+            )
+            finished = finished[flat] | (sym.reshape(-1) == eos)
+            return (tokens, top_scores.reshape(-1), finished), None
+
+        (tokens, scores, finished), _ = jax.lax.scan(
+            body, (tokens, scores, finished), jnp.arange(t_max)
+        )
+        best = jnp.argmax(scores.reshape(b, k), axis=-1)
+        return tokens[:, 1:].reshape(b, k, t_max)[jnp.arange(b), best]
+
+
 class TextConditionalMHA(nn.Module):
     """FiLM-modulated cross-attention: each text query produces per-key
     gamma/beta that modulate the visual keys/values before attention

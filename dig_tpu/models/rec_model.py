@@ -97,6 +97,8 @@ class RecModel(nn.Module):
 
         dec_in = self._encode(images, True)
         if beam_width > 0:
+            # measured: the KV-cached beam beats dense recompute here (the
+            # beam folding already yields big batches; see decoder.py)
             ids = self.decoder.beam_search(dec_in, beam_width, eos)
             return None, ids
         if _jax.default_backend() == "tpu":

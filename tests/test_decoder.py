@@ -142,3 +142,11 @@ def test_greedy_dense_early_exit_matches(dec_and_vars):
         hits = np.where(row_f == eos)[0]
         stop = (hits[0] + 1) if len(hits) else len(row_f)
         assert np.array_equal(row_f[:stop], row_e[:stop])
+
+
+def test_beam_dense_matches_cached_beam(dec_and_vars):
+    dec, variables, enc = dec_and_vars
+    eos = dec.num_classes - 3
+    ids_c = dec.apply(variables, enc, 3, eos, method=dec.beam_search)
+    ids_d = dec.apply(variables, enc, 3, eos, method=dec.beam_search_dense)
+    assert np.array_equal(np.asarray(ids_c), np.asarray(ids_d))
