@@ -1,0 +1,118 @@
+"""Coverage for the config parser, logging sinks, profiling helpers and
+single-process dist fallback."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_config_cli_roundtrip():
+    from dig_tpu.config import PretrainConfig, parse_config
+
+    cfg = parse_config(PretrainConfig, [
+        "--batch_size", "64", "--epochs", "3", "--mask_ratio", "0.6",
+        "--no_only_mim_on_ori_img", "--use_moco_m_cos",
+        "--opt_betas", "0.9", "0.95",
+        "--image_alone_path", "/a", "/b",
+        "--unknown_flag", "whatever",
+    ])
+    assert cfg.batch_size == 64 and cfg.epochs == 3
+    assert abs(cfg.mask_ratio - 0.6) < 1e-9
+    assert cfg.only_mim_on_ori_img is False
+    assert cfg.use_moco_m_cos is True
+    assert cfg.opt_betas == (0.9, 0.95)
+    assert cfg.image_alone_path == ["/a", "/b"]
+    cfg.finalize(num_devices=8)
+    assert abs(cfg.absolute_lr - cfg.lr * 64 * 8 / 256) < 1e-12
+
+
+def test_finetune_config_lr_scaling():
+    from dig_tpu.config import FinetuneConfig
+
+    cfg = FinetuneConfig(batch_size=256, update_freq=2)
+    cfg.finalize(num_devices=1)
+    assert abs(cfg.absolute_lr - cfg.lr * 2.0) < 1e-12
+
+
+def test_config_json_serializable():
+    from dig_tpu.config import FinetuneConfig, config_to_json
+
+    s = config_to_json(FinetuneConfig())
+    assert json.loads(s)["decoder_name"] == "tf_decoder"
+
+
+def test_jsonl_and_tee(tmp_path):
+    from dig_tpu.utils.logging import JsonlLogger, ScreenTee
+
+    jl = JsonlLogger(str(tmp_path))
+    jl.write(epoch=0, loss=1.5)
+    jl.write(epoch=1, loss=1.2)
+    lines = open(tmp_path / "log.txt").read().strip().split("\n")
+    assert json.loads(lines[1])["epoch"] == 1
+
+    import sys
+
+    tee = ScreenTee(str(tmp_path)).install()
+    try:
+        print("hello-tee")
+    finally:
+        sys.stdout = tee.terminal
+    assert "hello-tee" in open(tmp_path / "screen.txt").read()
+
+
+def test_metric_logger_meters():
+    from dig_tpu.utils.metric_logger import MetricLogger, SmoothedValue
+
+    logger = MetricLogger()
+    for i in range(10):
+        logger.update(loss=float(i))
+    assert logger.meters["loss"].global_avg == 4.5
+    assert logger.meters["loss"].max == 9.0
+    sv = SmoothedValue(window_size=3)
+    for v in (1.0, 2.0, 9.0):
+        sv.update(v)
+    assert sv.median == 2.0
+
+
+def test_step_timer_and_memory_stats():
+    import jax.numpy as jnp
+
+    from dig_tpu.utils.profiling import StepTimer, device_memory_stats
+
+    t = StepTimer()
+    t.start()
+    x = jnp.ones((8, 8)) * 2
+    dt = t.stop(block_on=x)
+    assert dt >= 0.0 and t.avg >= 0.0
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+
+
+def test_dist_single_process_fallback(monkeypatch):
+    from dig_tpu.parallel.dist import barrier, init_distributed_mode
+
+    for var in ("WORLD_SIZE", "RANK", "OMPI_COMM_WORLD_SIZE", "SLURM_NTASKS"):
+        monkeypatch.delenv(var, raising=False)
+    info = init_distributed_mode()
+    assert info["world_size"] == 1 and info["rank"] == 0
+    barrier()  # no-op on one process
+
+
+def test_fast_device_get_mixed_dtypes():
+    import jax.numpy as jnp
+
+    from dig_tpu.utils.checkpoint import fast_device_get
+
+    tree = {
+        "a": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+        "b": jnp.arange(5, dtype=jnp.int32),
+        "c": {"d": jnp.ones((2, 2), jnp.bfloat16) * 3},
+        "s": 7,  # non-array leaf passes through
+    }
+    host = fast_device_get(tree)
+    assert np.array_equal(host["a"], np.arange(12, dtype=np.float32).reshape(3, 4))
+    assert np.array_equal(host["b"], np.arange(5, dtype=np.int32))
+    assert float(np.asarray(host["c"]["d"], np.float32).sum()) == 12.0
+    assert host["s"] == 7
