@@ -15,10 +15,16 @@ Parity targets:
 
 TPU-native redesign: the reference's greedy decode re-runs the full
 decoder on the whole prefix at every step with no cache
-(models/decoder.py:233-247).  Here inference is a `lax.scan` over steps
-with per-layer KV caches; the cross-attention K/V are projected once per
-sequence.  With causal masking this is mathematically identical to the
-reference's recompute (verified numerically in tests/test_decoder.py).
+(models/decoder.py:233-247).  Three jitted inference paths exist, all
+numerically identical (tests/test_decoder.py):
+
+* `greedy_decode` — token-at-a-time `lax.scan` with per-layer KV caches,
+* `greedy_decode_dense` — full-prefix recompute with precomputed cross
+  K/V; ~6x faster on TPU for this geometry (MXU-friendly [B*T, C]
+  shapes), with optional all-EOS early exit (`lax.while_loop`),
+* `beam_search` (cache-reordering) and `beam_search_dense` — the cached
+  variant measures faster at realistic beam widths because beams already
+  inflate the batch.
 """
 
 from __future__ import annotations
