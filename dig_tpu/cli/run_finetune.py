@@ -60,39 +60,50 @@ def build_model(cfg: FinetuneConfig):
         use_1d_attdec=cfg.use_1d_attdec,
         use_mean_pooling=cfg.use_mean_pooling,
         use_feat_distill=cfg.use_feat_distill,
+        text_cond_vis=cfg.text_cond_vis,
         dtype=dtype,
         model_kind=cfg.model_kind,
     )
 
 
-def load_finetune_init(cfg: FinetuneConfig, state: TrainState) -> TrainState:
+def load_finetune_init(cfg: FinetuneConfig, state: TrainState,
+                       model=None) -> TrainState:
     """--finetune checkpoint surgery: accepts a reference .pth (converted
-    tensor-by-tensor) or a dig_tpu Orbax checkpoint (SSL tree grafted
-    onto the recognizer encoder)."""
+    tensor-by-tensor, incl. the ``backbone.`` remap) or a dig_tpu
+    checkpoint (SSL tree grafted onto the recognizer encoder).  A
+    resolution-mismatched pos_embed is bicubically re-interpolated
+    (run_class_finetuning.py:388-424)."""
     path = cfg.finetune
+    grid = model.encoder.patch_shape if model is not None else None
     if path.endswith(".pth") or path.endswith(".pt"):
-        sd = load_torch_checkpoint(path)
-        enc_tree = convert_torch_encoder(sd, prefix="encoder.")
-        params = merge_pretrained_encoder(state.params, enc_tree)
+        sd = load_torch_checkpoint(path, model_key=cfg.model_key)
+        enc_tree = convert_torch_encoder(sd, prefix=cfg.model_prefix or "encoder.")
+        params = merge_pretrained_encoder(state.params, enc_tree,
+                                          pos_embed_grid=grid)
     else:
         payload = restore_checkpoint(path)
         src = payload["params"].get("encoder", payload["params"])
-        params = merge_pretrained_encoder(state.params, src)
+        params = merge_pretrained_encoder(state.params, src,
+                                          pos_embed_grid=grid)
     return state.replace(params=params)
 
 
 def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
                        accuracy_fn=None):
     """Greedy/beam decode over one benchmark LMDB; pads the last partial
-    batch to keep shapes static (reference pads via sampler at
-    run_class_finetuning.py:298-306)."""
+    batch to keep shapes static.  With --dist_eval the set is sharded
+    across hosts and metrics are reduced cross-host; without it every
+    host evaluates the full set (the reference's DistributedSampler vs
+    SequentialSampler split, run_class_finetuning.py:298-306)."""
     ds = build_dataset(data_path, is_train=False, voc_type=cfg.voc_type,
                        max_len=cfg.max_len, img_height=cfg.input_h,
                        img_width=cfg.input_w)
     rank, world = jax.process_index(), jax.process_count()
+    if not cfg.dist_eval:
+        rank, world = 0, 1
     sampler = ShardedSampler(len(ds), rank=rank, world=world, shuffle=False)
     # per-host batch covering all local devices (divisible by the mesh)
-    bs = cfg.batch_size * (jax.device_count() // world)
+    bs = cfg.batch_size * (jax.device_count() // jax.process_count())
     loader = DataLoader(ds, sampler, batch_size=bs, num_workers=cfg.num_workers,
                         drop_last=False)
     n_correct, n_total, f_sum, loss_sum = 0, 0, 0.0, 0.0
@@ -113,9 +124,10 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
         n_total += n
         f_sum += f * n
         loss_sum += float(loss) * n
-    if jax.process_count() > 1:
+    if cfg.dist_eval and jax.process_count() > 1:
         # cross-host metric reduction (≙ metric_logger.synchronize_between_processes,
-        # engine_for_finetuning.py:276)
+        # engine_for_finetuning.py:276); without --dist_eval every host
+        # already holds full-set metrics, so no reduction is needed
         from jax.experimental import multihost_utils
 
         sums = multihost_utils.process_allgather(
@@ -160,7 +172,7 @@ def main(cfg: FinetuneConfig):
         state = init_finetune_state(model, tx, jax.random.PRNGKey(cfg.seed),
                                     max_len=cfg.max_len, model_kind=cfg.model_kind)
         if cfg.finetune:
-            state = load_finetune_init(cfg, state)
+            state = load_finetune_init(cfg, state, model)
         elif cfg.resume:
             payload = restore_checkpoint(cfg.resume)
             state = state.replace(params=payload["params"])
@@ -216,7 +228,7 @@ def main(cfg: FinetuneConfig):
     print(f"params: {n_params / 1e6:.2f} M")
 
     if cfg.finetune:
-        state = load_finetune_init(cfg, state)
+        state = load_finetune_init(cfg, state, model)
     start_epoch = cfg.start_epoch
     if cfg.auto_resume and not cfg.resume:
         state, extra = auto_resume(cfg.output_dir, state)

@@ -114,6 +114,7 @@ class FinetuneConfig:
     drop_path: float = 0.1
     use_1d_attdec: bool = False
     use_mean_pooling: bool = True
+    text_cond_vis: bool = False
     beam_width: int = 0
     # recipe
     batch_size: int = 256
@@ -157,6 +158,10 @@ class FinetuneConfig:
     save_ckpt_freq: int = 1
     eval_freq: int = 1000
     eval: bool = False
+    # when True, eval benchmarks are sharded across hosts with a cross-host
+    # metric reduction; when False every host evaluates the full set locally
+    # (the reference's SequentialSampler-vs-DistributedSampler split,
+    # run_class_finetuning.py:298-306)
     dist_eval: bool = False
     input_h: int = 32
     input_w: int = 128

@@ -22,9 +22,12 @@ numerically identical (tests/test_decoder.py):
 * `greedy_decode_dense` — full-prefix recompute with precomputed cross
   K/V; ~6x faster on TPU for this geometry (MXU-friendly [B*T, C]
   shapes), with optional all-EOS early exit (`lax.while_loop`),
-* `beam_search` (cache-reordering) and `beam_search_dense` — the cached
-  variant measures faster at realistic beam widths because beams already
-  inflate the batch.
+* `beam_search` (KV-cached) and `beam_search_dense` — reference-parity
+  semantics including the stored-predecessor backtracking
+  (models/decoder.py:254-370); pinned numerically against a test-local
+  port of the reference algorithm in tests/test_beam_parity.py.  The
+  cached variant measures faster at realistic beam widths because beams
+  already inflate the batch.
 """
 
 from __future__ import annotations
@@ -116,7 +119,10 @@ class PositionwiseFeedForward(nn.Module):
 
 class TransformerDecoderLayer(nn.Module):
     """Pre-LN: self-attn -> cross-attn -> FFN with residuals
-    (reference: models/transformer_layer.py:47-118)."""
+    (reference: models/transformer_layer.py:47-118).  When
+    ``text_cond_vis`` is set the cross-attention is replaced by the
+    FiLM-modulated text-conditional variant, exactly as the reference
+    swaps `enc_attn` (models/transformer_layer.py:76-87)."""
 
     d_model: int = 512
     d_inner: int = 256
@@ -125,6 +131,7 @@ class TransformerDecoderLayer(nn.Module):
     d_v: int = 64
     dropout: float = 0.1
     qkv_bias: bool = False
+    text_cond_vis: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -136,7 +143,7 @@ class TransformerDecoderLayer(nn.Module):
         self.norm2 = nn.LayerNorm(dtype=self.dtype)
         self.norm3 = nn.LayerNorm(dtype=self.dtype)
         self.self_attn = DecoderMHA(**mk)
-        self.enc_attn = DecoderMHA(**mk)
+        self.enc_attn = TextConditionalMHA(**mk) if self.text_cond_vis else DecoderMHA(**mk)
         self.mlp = PositionwiseFeedForward(
             d_inner=self.d_inner, dropout=self.dropout, dtype=self.dtype
         )
@@ -199,6 +206,7 @@ class TFDecoder(nn.Module):
     n_position: int = 200
     dropout: float = 0.1
     max_seq_len: int = 25
+    text_cond_vis: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -215,7 +223,8 @@ class TFDecoder(nn.Module):
         self.layer_stack = [
             TransformerDecoderLayer(
                 d_model=self.d_model, d_inner=self.d_inner, n_head=self.n_head,
-                d_k=self.d_k, d_v=self.d_v, dropout=self.dropout, dtype=self.dtype,
+                d_k=self.d_k, d_v=self.d_v, dropout=self.dropout,
+                text_cond_vis=self.text_cond_vis, dtype=self.dtype,
                 name=f"layers_{i}",
             )
             for i in range(self.n_layers)
@@ -283,6 +292,11 @@ class TFDecoder(nn.Module):
         """[B, N, C] encoder map -> per-step softmax [B, T, num_classes] and
         greedy ids, matching forward_test semantics
         (models/decoder.py:224-252) with a KV-cached scan."""
+        if self.text_cond_vis:
+            # FiLM-conditioned cross K/V depend on the query token, so
+            # there is nothing to cache — use the full-recompute path
+            # (exactly the reference's forward_test structure).
+            return self.greedy_decode_dense(enc_output)
         b = enc_output.shape[0]
         t_max = self.max_seq_len
         cross_kvs = self.prepare_cross(enc_output)
@@ -335,12 +349,16 @@ class TFDecoder(nn.Module):
         models/decoder.py:233)."""
         b = enc_output.shape[0]
         t_max = self.max_seq_len
-        cross_kvs = self.prepare_cross(enc_output)
         causal = make_causal_mask(t_max)[:, None]  # [1, 1, T, T]
+        if self.text_cond_vis:
+            run = lambda tgt: self._run_layers(tgt, enc_output, causal, True)
+        else:
+            cross_kvs = self.prepare_cross(enc_output)
+            run = lambda tgt: self._run_layers_cached_cross(tgt, cross_kvs, causal)
 
         def step(t, tokens):
             tgt = self._embed(tokens[:, :-1], True)
-            out = self._run_layers_cached_cross(tgt, cross_kvs, causal)
+            out = run(tgt)
             logits_t = self.classifier(
                 jax.lax.dynamic_slice_in_dim(out, t, 1, axis=1)[:, 0]
             )
@@ -382,106 +400,143 @@ class TFDecoder(nn.Module):
         return probs, tokens[:, 1:]
 
     # ---- beam search ----------------------------------------------------------
+    #
+    # Reference-faithful semantics (models/decoder.py:254-370), pinned
+    # numerically by tests/test_beam_parity.py:
+    #   * length-unnormalized log-prob scores; each step expands all k
+    #     beams over all classes and takes the per-sample top-k,
+    #   * a beam that emits EOS is KILLED (score -> -inf) and its
+    #     completed hypothesis is recovered by backtracking through the
+    #     stored per-step predecessors/symbols/scores (:313-370),
+    #   * the per-row token history is NOT reordered by predecessor
+    #     during the forward loop — the reference updates only
+    #     `init_target_seq[:, step+1]` (:309) — so row r's conditioning
+    #     prefix is its own emission history while its score is inherited
+    #     from the predecessor.  This is observable in the outputs, so it
+    #     is reproduced here rather than "fixed".
+    # A welcome consequence of the no-reorder rule: the KV caches stay
+    # row-aligned, so the cached variant needs no cache gathering at all.
+
+    def _beam_select(self, scores, logp, b, eos):
+        """One reference beam step: expand, top-k, kill EOS rows.
+        Returns (stored top_scores [b,k], flat predecessors [b*k],
+        symbols [b*k], new scores [b*k])."""
+        k = scores.shape[0] // b
+        cand = (scores[:, None] + logp).reshape(b, k * self.num_classes)
+        top_scores, top_idx = jax.lax.top_k(cand, k)
+        sym = (top_idx % self.num_classes).astype(jnp.int32).reshape(-1)
+        pred = (top_idx // self.num_classes
+                + jnp.arange(b)[:, None] * k).reshape(-1)
+        new_scores = jnp.where(sym == eos, -jnp.inf, top_scores.reshape(-1))
+        return top_scores, pred, sym, new_scores
+
+    def _beam_backtrack(self, st_scores, st_preds, st_syms, b: int, k: int,
+                        eos: int):
+        """Jitted port of the reference's backtracking
+        (models/decoder.py:313-370): completed hypotheses (EOS emissions)
+        replace the lowest-ranked final beams in a per-sample ring, walking
+        time backwards; returns the best hypothesis ids [b, T].
+
+        st_scores [T, b, k] are the post-top-k, pre-kill scores;
+        st_preds / st_syms [T, b*k] flat predecessor indices and symbols."""
+        t_max = st_scores.shape[0]
+        pos = jnp.arange(b) * k
+        sorted_score, sorted_idx = jax.lax.top_k(st_scores[-1], k)  # [b, k]
+        t_pred = (sorted_idx + pos[:, None]).reshape(-1)
+        rows = jnp.arange(b)
+
+        def body(carry, xs):
+            t_pred, s, count = carry
+            scores_t, preds_t, syms_t, t = xs
+            cur = syms_t[t_pred]
+            new_pred = preds_t[t_pred]
+            # this step's EOS emissions, processed in decreasing beam order
+            # (the reference walks eos_indices back-to-front, :336-358)
+            for j in range(k - 1, -1, -1):
+                flat = pos + j
+                is_eos = syms_t[flat] == eos
+                res_k = k - 1 - (count % k)
+                res_flat = pos + res_k
+                new_pred = new_pred.at[res_flat].set(
+                    jnp.where(is_eos, preds_t[flat], new_pred[res_flat]))
+                cur = cur.at[res_flat].set(
+                    jnp.where(is_eos, eos, cur[res_flat]))
+                s = s.at[rows, res_k].set(
+                    jnp.where(is_eos, scores_t[rows, j], s[rows, res_k]))
+                count = count + is_eos.astype(jnp.int32)
+            return (new_pred, s, count), cur
+
+        (_, s, _), syms_back = jax.lax.scan(
+            body,
+            (t_pred, sorted_score, jnp.zeros((b,), jnp.int32)),
+            (st_scores[::-1], st_preds[::-1], st_syms[::-1],
+             jnp.arange(t_max)[::-1]),
+        )
+        best_flat = pos + jnp.argmax(s, axis=1)  # ties -> lowest index, like topk
+        return syms_back[::-1][:, best_flat].T  # [b, T]
 
     def beam_search(self, enc_output, beam_width: int, eos: int = 94):
-        """Jittable beam search with KV-cache beam reordering; semantics
-        follow the reference (models/decoder.py:254-370): length-unnormalized
-        log-prob scores, EOS freezes a beam (its score stops accumulating).
-        Returns ids [B, T]."""
+        """Jittable KV-cached beam search, reference-parity semantics (see
+        section comment above).  Returns ids [B, T]."""
+        if self.text_cond_vis:
+            return self.beam_search_dense(enc_output, beam_width, eos)
         b, n, c = enc_output.shape
         k = beam_width
         enc = jnp.repeat(enc_output, k, axis=0)  # beams contiguous per sample
         cross_kvs = self.prepare_cross(enc)
         caches = self._init_caches(b * k, self.max_seq_len, enc.dtype)
 
-        neg_inf = jnp.float32(-1e30)
         # only beam 0 of each sample is live at step 0
-        scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, neg_inf)
-        finished = jnp.zeros((b * k,), bool)
+        scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, -jnp.inf)
         tokens = jnp.full((b * k,), self.start_idx, dtype=jnp.int32)
-        seqs = jnp.zeros((b * k, self.max_seq_len), jnp.int32)
-
-        def reorder(tree, idx):
-            return jax.tree_util.tree_map(lambda a: a[idx], tree)
 
         def body(carry, t):
-            tokens, scores, finished, seqs, caches = carry
+            tokens, scores, caches = carry
             logits, caches = self.decode_step(tokens, t, caches, cross_kvs)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            # finished beams keep their score on a single continuation (EOS)
-            cont = jnp.where(
-                finished[:, None],
-                jnp.where(jnp.arange(self.num_classes)[None, :] == eos, 0.0, neg_inf),
-                logp,
-            )
-            cand = scores[:, None] + cont  # [b*k, C]
-            cand = cand.reshape(b, k * self.num_classes)
-            top_scores, top_idx = jax.lax.top_k(cand, k)
-            beam_idx = top_idx // self.num_classes  # [b, k] within-sample beam
-            sym = (top_idx % self.num_classes).astype(jnp.int32)
-            flat_beam = (beam_idx + jnp.arange(b)[:, None] * k).reshape(-1)
-            seqs = seqs[flat_beam].at[:, t].set(sym.reshape(-1))
-            caches = reorder(caches, flat_beam)
-            finished = finished[flat_beam] | (sym.reshape(-1) == eos)
-            return (sym.reshape(-1), top_scores.reshape(-1), finished, seqs, caches), None
+            top_scores, pred, sym, scores = self._beam_select(scores, logp, b, eos)
+            return (sym, scores, caches), (top_scores, pred, sym)
 
-        (tokens, scores, finished, seqs, caches), _ = jax.lax.scan(
-            body, (tokens, scores, finished, seqs, caches), jnp.arange(self.max_seq_len)
+        (_, _, _), (st_scores, st_preds, st_syms) = jax.lax.scan(
+            body, (tokens, scores, caches), jnp.arange(self.max_seq_len)
         )
-        # best beam per sample
-        best = jnp.argmax(scores.reshape(b, k), axis=-1)
-        seqs = seqs.reshape(b, k, self.max_seq_len)[jnp.arange(b), best]
-        return seqs
-
-
-
+        return self._beam_backtrack(st_scores, st_preds, st_syms, b, k, eos)
 
     def beam_search_dense(self, enc_output, beam_width: int, eos: int = 94):
         """Beam search via full-prefix recompute (same shape rationale as
-        `greedy_decode_dense`; scoring semantics identical to `beam_search`).
-        No KV caches to reorder — only the token buffer is gathered by
-        predecessor each step."""
+        `greedy_decode_dense`; semantics identical to `beam_search`)."""
         b, n, c = enc_output.shape
         k = beam_width
         enc = jnp.repeat(enc_output, k, axis=0)
-        cross_kvs = self.prepare_cross(enc)
         t_max = self.max_seq_len
         causal = make_causal_mask(t_max)[:, None]
+        if self.text_cond_vis:
+            run = lambda tgt: self._run_layers(tgt, enc, causal, True)
+        else:
+            cross_kvs = self.prepare_cross(enc)
+            run = lambda tgt: self._run_layers_cached_cross(tgt, cross_kvs, causal)
 
-        neg_inf = jnp.float32(-1e30)
-        scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, neg_inf)
-        finished = jnp.zeros((b * k,), bool)
+        scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, -jnp.inf)
         tokens = jnp.zeros((b * k, t_max + 1), jnp.int32).at[:, 0].set(self.start_idx)
 
         def body(carry, t):
-            tokens, scores, finished = carry
+            tokens, scores = carry
             tgt = self._embed(tokens[:, :-1], True)
-            out = self._run_layers_cached_cross(tgt, cross_kvs, causal)
+            out = run(tgt)
             logits = self.classifier(
                 jax.lax.dynamic_slice_in_dim(out, t, 1, axis=1)[:, 0]
             )
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            cont = jnp.where(
-                finished[:, None],
-                jnp.where(jnp.arange(self.num_classes)[None, :] == eos, 0.0, neg_inf),
-                logp,
-            )
-            cand = (scores[:, None] + cont).reshape(b, k * self.num_classes)
-            top_scores, top_idx = jax.lax.top_k(cand, k)
-            beam_idx = top_idx // self.num_classes
-            sym = (top_idx % self.num_classes).astype(jnp.int32)
-            flat = (beam_idx + jnp.arange(b)[:, None] * k).reshape(-1)
+            top_scores, pred, sym, scores = self._beam_select(scores, logp, b, eos)
             tokens = jax.lax.dynamic_update_slice(
-                tokens[flat], sym.reshape(-1, 1), (0, t + 1)
+                tokens, sym.reshape(-1, 1), (0, t + 1)
             )
-            finished = finished[flat] | (sym.reshape(-1) == eos)
-            return (tokens, top_scores.reshape(-1), finished), None
+            return (tokens, scores), (top_scores, pred, sym)
 
-        (tokens, scores, finished), _ = jax.lax.scan(
-            body, (tokens, scores, finished), jnp.arange(t_max)
+        (_, _), (st_scores, st_preds, st_syms) = jax.lax.scan(
+            body, (tokens, scores), jnp.arange(t_max)
         )
-        best = jnp.argmax(scores.reshape(b, k), axis=-1)
-        return tokens[:, 1:].reshape(b, k, t_max)[jnp.arange(b), best]
+        return self._beam_backtrack(st_scores, st_preds, st_syms, b, k, eos)
 
 
 class TextConditionalMHA(nn.Module):
@@ -534,23 +589,29 @@ class TextConditionalMHA(nn.Module):
 
 
 class TextCondDecoderLayer(TransformerDecoderLayer):
-    """Decoder layer whose cross-attention is text-conditional."""
+    """Decoder layer whose cross-attention is text-conditional
+    (convenience alias for TransformerDecoderLayer(text_cond_vis=True))."""
 
-    def setup(self):
-        super().setup()
-        self.enc_attn_tc = TextConditionalMHA(
-            n_head=self.n_head, d_k=self.d_k, d_v=self.d_v, d_model=self.d_model,
-            dropout=self.dropout, qkv_bias=self.qkv_bias, dtype=self.dtype,
-        )
+    text_cond_vis: bool = True
 
-    def __call__(self, x, enc_output, self_attn_mask=None, dec_enc_attn_mask=None,
-                 deterministic: bool = True):
-        sa_in = self.norm1(x)
-        x = x + self.self_attn(sa_in, sa_in, sa_in, self_attn_mask, deterministic)
-        x = x + self.enc_attn_tc(self.norm2(x), enc_output, enc_output,
-                                 dec_enc_attn_mask, deterministic)
-        x = x + self.mlp(self.norm3(x), deterministic)
-        return x
+
+class Order2Cls(nn.Module):
+    """MLP mapping an order-query feature to a distribution over classes
+    (reference `mlp_order2cls_attn`, models/transformer_layer.py:157-163;
+    the reference hard-codes 97 outputs — generalized here)."""
+
+    d_inner: int
+    num_classes: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.d_inner, dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.num_classes, dtype=self.dtype)(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
 class DecoupledTFDecoder(TFDecoder):
@@ -558,27 +619,26 @@ class DecoupledTFDecoder(TFDecoder):
     features; the resulting attention is mixed with class-query maps and a
     re-projected value stream, fused with the semantic self-attention path
     (reference: models/decoder.py:373-436 +
-    models/transformer_layer.py:121-201)."""
+    models/transformer_layer.py:121-201).
+
+    TPU-native observation: the vision branch depends only on the (fixed)
+    order embedding, the encoder map and the class-query maps — never on
+    the decoded tokens.  The reference recomputes it for all max_seq_len
+    positions at EVERY greedy step (decoder.py:224-252 calls the decoupled
+    `_attention` :415-436 per step); here it is computed ONCE per image and
+    reused across the whole decode loop, which removes the dominant
+    per-step cost while staying numerically identical."""
 
     def setup(self):
         super().setup()
         self.order_enc = nn.Embed(self.max_seq_len + 1, self.d_embedding,
                                   dtype=self.dtype)
         self.order_dropout = nn.Dropout(self.dropout)
-        self.order_norms = [
-            nn.LayerNorm(dtype=self.dtype, name=f"order_norm_{i}")
-            for i in range(self.n_layers)
-        ]
-        d_model = self.d_model
-        # the reference hard-codes 97 here (transformer_layer.py:162);
-        # generalized to the configured class count
         self.order2cls = [
-            nn.Sequential([
-                nn.Dense(self.d_inner, dtype=self.dtype),
-                lambda x: nn.gelu(x, approximate=False),
-                nn.Dense(self.num_classes, dtype=self.dtype),
-            ])
-            for _ in range(self.n_layers)
+            Order2Cls(d_inner=self.d_inner, num_classes=self.num_classes,
+                      dropout=self.dropout, dtype=self.dtype,
+                      name=f"order2cls_{i}")
+            for i in range(self.n_layers)
         ]
         self.new_linear_v = [
             nn.Dense(self.n_head * self.d_v, use_bias=False, dtype=self.dtype,
@@ -586,54 +646,181 @@ class DecoupledTFDecoder(TFDecoder):
             for i in range(self.n_layers)
         ]
 
-    def decoupled_forward(self, enc_output, targets, tgt_lens,
-                          cls_query_attn_maps, deterministic: bool = False):
-        b, t = targets.shape
-        bos = jnp.full((b, 1), self.start_idx, dtype=targets.dtype)
-        query = jnp.concatenate([bos, targets], axis=-1)[:, :-1]
-        mask = (make_pad_mask(tgt_lens, t) & make_causal_mask(t))[:, None]
-        x = self._embed(query, deterministic)
-
-        orders = jnp.arange(t)[None].repeat(b, axis=0)
+    def _vision_branch(self, enc_output, cls_query_attn_maps, t_len,
+                       deterministic: bool = True):
+        """Per-layer token-independent vision-branch outputs, each [B, T, C]
+        (reference: models/transformer_layer.py:180-194; each layer reads
+        the SAME order embedding, not the previous layer's output)."""
+        b = enc_output.shape[0]
+        orders = jnp.arange(t_len)[None].repeat(b, axis=0)
         order_embed = self.order_dropout(self.order_enc(orders),
                                          deterministic=deterministic)
         nc = cls_query_attn_maps.shape[1]
         cls_maps = cls_query_attn_maps.reshape(b, nc, -1)  # [B, C, Lk]
-
+        outs = []
         for i, layer in enumerate(self.layer_stack):
-            sa_in = layer.norm1(x)
-            x = x + layer.self_attn(sa_in, sa_in, sa_in, mask, deterministic)
-            # vision branch: order embedding queries the encoder
-            oq = self.order_norms[i](order_embed)
+            # order embedding queries the encoder through the layer's
+            # cross-attention (query normalized by the layer's norm2,
+            # matching `order_embed_q = self.norm2(order_embed)`)
+            oq = layer.norm2(order_embed)
             qp = layer.enc_attn.project_q(oq)
             kp, vp = layer.enc_attn.project_kv(enc_output, enc_output)
             order_attn_out = layer.enc_attn.attend(qp, kp, vp, None, deterministic)
             order_attn_out = order_attn_out + order_embed
             order2cls = jax.nn.softmax(
-                self.order2cls[i](order_attn_out).astype(jnp.float32), axis=-1
-            ).astype(x.dtype)  # [B, T, num_cls]
+                self.order2cls[i](order_attn_out, deterministic).astype(jnp.float32),
+                axis=-1,
+            ).astype(enc_output.dtype)  # [B, T, num_cls]
             # mean-head attention map of the order query
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", qp * (layer.enc_attn.d_k**-0.5), kp
             ).astype(jnp.float32)
-            attn_maps = jax.nn.softmax(logits, axis=-1).mean(axis=1).astype(x.dtype)
+            attn_maps = jax.nn.softmax(logits, axis=-1).mean(axis=1)
+            attn_maps = attn_maps.astype(enc_output.dtype)
             order_attn = jnp.einsum("btc,bck->btk", order2cls, cls_maps) + attn_maps
             enc_v = self.new_linear_v[i](enc_output)
-            enc_attn_out = jnp.einsum("btk,bkc->btc", order_attn, enc_v)
-            x = x + enc_attn_out
+            outs.append(jnp.einsum("btk,bkc->btc", order_attn, enc_v))
+        return outs
+
+    def _decoupled_run(self, x, vision_outs, self_attn_mask,
+                       deterministic: bool = True):
+        """Semantics (token self-attn) + precomputed vision fusion
+        (reference layer forward, models/transformer_layer.py:167-201)."""
+        for layer, v_out in zip(self.layer_stack, vision_outs):
+            sa_in = layer.norm1(x)
+            x = x + layer.self_attn(sa_in, sa_in, sa_in, self_attn_mask, deterministic)
+            x = x + v_out
             x = x + layer.mlp(layer.norm3(x), deterministic)
-        x = self.layer_norm(x)
+        return self.layer_norm(x)
+
+    def decoupled_forward(self, enc_output, targets, tgt_lens,
+                          cls_query_attn_maps, deterministic: bool = False):
+        """Teacher-forced pass (reference forward_train,
+        models/decoder.py:196-222 with the decoupled `_attention`)."""
+        b, t = targets.shape
+        bos = jnp.full((b, 1), self.start_idx, dtype=targets.dtype)
+        query = jnp.concatenate([bos, targets], axis=-1)[:, :-1]
+        mask = (make_pad_mask(tgt_lens, t) & make_causal_mask(t))[:, None]
+        x = self._embed(query, deterministic)
+        vision_outs = self._vision_branch(enc_output, cls_query_attn_maps, t,
+                                          deterministic)
+        x = self._decoupled_run(x, vision_outs, mask, deterministic)
         return self.classifier(x)
+
+    def decoupled_greedy_decode(self, enc_output, cls_query_attn_maps,
+                                eos: Optional[int] = None):
+        """Greedy decode through the decoupled graph (reference forward_test
+        models/decoder.py:224-252 + decoupled _attention :415-436).  Dense
+        full-prefix recompute of the token branch; the vision branch is
+        hoisted out of the loop (see class docstring).  Returns
+        (per-step softmax [B, T, num_classes], ids [B, T])."""
+        b = enc_output.shape[0]
+        t_max = self.max_seq_len
+        causal = make_causal_mask(t_max)[:, None]
+        vision_outs = self._vision_branch(enc_output, cls_query_attn_maps, t_max)
+
+        def step(t, tokens):
+            tgt = self._embed(tokens[:, :-1], True)
+            out = self._decoupled_run(tgt, vision_outs, causal)
+            logits_t = self.classifier(
+                jax.lax.dynamic_slice_in_dim(out, t, 1, axis=1)[:, 0]
+            )
+            probs = jax.nn.softmax(logits_t.astype(jnp.float32), axis=-1)
+            nxt = jnp.argmax(probs, axis=-1).astype(tokens.dtype)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t + 1))
+            return tokens, probs
+
+        tokens0 = jnp.zeros((b, t_max + 1), jnp.int32).at[:, 0].set(self.start_idx)
+        if eos is None:
+            tokens, probs = jax.lax.scan(
+                lambda tk, t: step(t, tk), tokens0, jnp.arange(t_max)
+            )
+            return probs.transpose(1, 0, 2), tokens[:, 1:]
+
+        probs0 = jnp.zeros((b, t_max, self.num_classes), jnp.float32)
+
+        def cond(carry):
+            t, tokens, probs, done = carry
+            return (t < t_max) & ~done
+
+        def body(carry):
+            t, tokens, probs, _ = carry
+            tokens, probs_t = step(t, tokens)
+            probs = jax.lax.dynamic_update_slice(probs, probs_t[:, None, :], (0, t, 0))
+            emitted = jax.lax.dynamic_slice_in_dim(tokens, 1, t_max, axis=1)
+            pos = jnp.arange(t_max)[None, :]
+            has_eos = jnp.any((emitted == eos) & (pos <= t), axis=1)
+            return t + 1, tokens, probs, jnp.all(has_eos)
+
+        _, tokens, probs, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tokens0, probs0, jnp.bool_(False))
+        )
+        return probs, tokens[:, 1:]
+
+    def decoupled_beam_search(self, enc_output, cls_query_attn_maps,
+                              beam_width: int, eos: int = 94):
+        """Beam search through the decoupled graph (reference beam_search,
+        models/decoder.py:254-370, which also routes through the decoupled
+        `_attention`).  Same scoring semantics as `TFDecoder.beam_search`
+        (length-unnormalized, EOS freezes a beam).  Returns ids [B, T]."""
+        b, n, c = enc_output.shape
+        k = beam_width
+        enc = jnp.repeat(enc_output, k, axis=0)
+        maps = jnp.repeat(cls_query_attn_maps, k, axis=0)
+        t_max = self.max_seq_len
+        causal = make_causal_mask(t_max)[:, None]
+        vision_outs = self._vision_branch(enc, maps, t_max)
+
+        neg_inf = jnp.float32(-1e30)
+        scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, neg_inf)
+        finished = jnp.zeros((b * k,), bool)
+        tokens = jnp.zeros((b * k, t_max + 1), jnp.int32).at[:, 0].set(self.start_idx)
+
+        def body(carry, t):
+            tokens, scores, finished = carry
+            tgt = self._embed(tokens[:, :-1], True)
+            out = self._decoupled_run(tgt, vision_outs, causal)
+            logits = self.classifier(
+                jax.lax.dynamic_slice_in_dim(out, t, 1, axis=1)[:, 0]
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            cont = jnp.where(
+                finished[:, None],
+                jnp.where(jnp.arange(self.num_classes)[None, :] == eos, 0.0, neg_inf),
+                logp,
+            )
+            cand = (scores[:, None] + cont).reshape(b, k * self.num_classes)
+            top_scores, top_idx = jax.lax.top_k(cand, k)
+            beam_idx = top_idx // self.num_classes
+            sym = (top_idx % self.num_classes).astype(jnp.int32)
+            flat = (beam_idx + jnp.arange(b)[:, None] * k).reshape(-1)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens[flat], sym.reshape(-1, 1), (0, t + 1)
+            )
+            finished = finished[flat] | (sym.reshape(-1) == eos)
+            return (tokens, top_scores.reshape(-1), finished), None
+
+        (tokens, scores, finished), _ = jax.lax.scan(
+            body, (tokens, scores, finished), jnp.arange(t_max)
+        )
+        best = jnp.argmax(scores.reshape(b, k), axis=-1)
+        return tokens[:, 1:].reshape(b, k, t_max)[jnp.arange(b), best]
 
 
 def create_decoder(decoder_name: str, num_classes: int, max_len: int,
                    encoder_dim: int = 384, dtype=jnp.float32,
                    text_cond_vis: bool = False) -> TFDecoder:
     """Decoder factory mirroring `create_decoder`
-    (reference: models/decoder.py:13-73)."""
+    (reference: models/decoder.py:13-73).  `text_cond_vis` swaps every
+    layer's cross-attention for the FiLM-conditioned variant
+    (reference: --text_cond_vis, run_class_finetuning.py:60 ->
+    models/decoder.py:18 -> transformer_layer.py:76-87); the decoupled
+    decoder ignores it, as the reference's decoupled layer stack does
+    (models/decoder.py:409-412 rebuilds layers without the flag)."""
     common = dict(num_classes=num_classes, max_seq_len=max_len, dtype=dtype)
     if decoder_name == "decoupled_tf_decoder":
         return DecoupledTFDecoder(**common)
+    common["text_cond_vis"] = text_cond_vis
     if decoder_name == "tf_decoder":
         return TFDecoder(**common)
     if decoder_name == "small_tf_decoder":

@@ -279,6 +279,30 @@ class SeqClsRecModel(nn.Module):
             logits = self.decoder(dec_in, targets, tgt_lens, deterministic=deterministic)
         return logits, cls_logit, cls_maps
 
+    def recognize(self, images, beam_width: int = 0, eos: int = 94):
+        """Inference through the decoupled graph (the reference's
+        forward_test/beam_search also run the decoupled `_attention`;
+        models/decoder.py:224-252, :254-370, :415-436).
+        Returns (probs [B, T, C] or None, ids [B, T])."""
+        from dig_tpu.models.decoder import DecoupledTFDecoder
+
+        enc = self.encoder(images, deterministic=True)
+        _, cls_maps = self.multi_label(enc, True)
+        dec_in = self.linear_norm(enc)
+        if isinstance(self.decoder, DecoupledTFDecoder):
+            if beam_width > 0:
+                return None, self.decoder.decoupled_beam_search(
+                    dec_in, cls_maps, beam_width, eos
+                )
+            return self.decoder.decoupled_greedy_decode(
+                dec_in, cls_maps, eos=eos if eos >= 0 else None
+            )
+        if beam_width > 0:
+            return None, self.decoder.beam_search(dec_in, beam_width, eos)
+        return self.decoder.greedy_decode_dense(
+            dec_in, eos=eos if eos >= 0 else None
+        )
+
 
 def build_rec_model(
     model_name: str = "vit_small_patch4_32x128",
@@ -291,6 +315,7 @@ def build_rec_model(
     use_1d_attdec: bool = False,
     use_mean_pooling: bool = True,
     use_feat_distill: bool = False,
+    text_cond_vis: bool = False,
     dtype=jnp.float32,
     model_kind: str = "rec",  # rec | ctc | attn
 ) -> nn.Module:
@@ -319,6 +344,13 @@ def build_rec_model(
             )
         return SeqClsTokenRecModel(encoder=encoder, nb_classes=nb_classes, dtype=dtype)
     decoder = create_decoder(decoder_name, nb_classes, max_len,
-                             encoder_dim=encoder.embed_dim, dtype=dtype)
+                             encoder_dim=encoder.embed_dim, dtype=dtype,
+                             text_cond_vis=text_cond_vis)
+    if decoder_name == "decoupled_tf_decoder":
+        # the decoupled decoder needs class-query attention maps, which the
+        # multi-label head supplies (reference wires cls_query_attn_maps
+        # through RecModel when the decoupled decoder is selected)
+        return SeqClsRecModel(encoder=encoder, decoder=decoder,
+                              nb_classes=nb_classes, dtype=dtype)
     return RecModel(encoder=encoder, decoder=decoder, use_1d_attdec=use_1d_attdec,
                     use_feat_distill=use_feat_distill, dtype=dtype)

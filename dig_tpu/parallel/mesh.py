@@ -62,29 +62,54 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+# Structured tensor-parallel rules: a leaf matches when its key path ENDS
+# WITH one of these component tuples (exact dict keys, not substrings).
+# Column = output dim sharded (Megatron up-projection); row = input dim
+# sharded (down-projection); GSPMD inserts the activation collectives.
+TP_COLUMN_RULES = (
+    ("attn", "qkv_kernel"),           # ViT fused qkv (models/layers.py:115)
+    ("mlp", "Dense_0", "kernel"),     # ViT MLP up
+    ("linear_q", "kernel"),           # decoder MHA projections
+    ("linear_k", "kernel"),
+    ("linear_v", "kernel"),
+    ("w_1", "kernel"),                # decoder FFN up
+    ("q_kernel",),                    # PatchNet cross-attn (models/moco.py)
+    ("k_kernel",),
+    ("v_kernel",),
+)
+TP_ROW_RULES = (
+    ("attn", "proj", "kernel"),       # ViT attention output proj
+    ("mlp", "Dense_1", "kernel"),     # ViT MLP down
+    ("fc", "kernel"),                 # decoder MHA output proj
+    ("w_2", "kernel"),                # decoder FFN down
+)
+
+
+def _path_keys(path) -> tuple:
+    return tuple(str(getattr(p, "key", p)) for p in path)
+
+
+def _endswith(keys: tuple, suffix: tuple) -> bool:
+    return len(keys) >= len(suffix) and keys[-len(suffix):] == suffix
+
+
 def tp_param_shardings(mesh: Mesh, params):
-    """Megatron-style tensor-parallel sharding rules for the ViT blocks:
-    qkv / MLP-up kernels column-sharded, proj / MLP-down kernels
-    row-sharded over the ``tensor`` axis.  GSPMD inserts the activation
-    collectives.  Composes with `fsdp_param_shardings` (applied first,
-    TP rules override where they match)."""
+    """Megatron-style tensor-parallel sharding for the transformer blocks,
+    driven by structured key-path suffix rules (TP_COLUMN_RULES /
+    TP_ROW_RULES) rather than substring matching.  Composes with
+    `fsdp_param_shardings` (applied first, TP rules override where they
+    match).  tests/test_tp_rules.py enumerates the trees and fails on any
+    expected-sharded leaf left replicated."""
     n_tp = mesh.shape["tensor"]
 
-    def path_str(path):
-        return "/".join(str(getattr(p, "key", p)) for p in path)
-
     def rule(path, leaf):
-        name = path_str(path)
+        keys = _path_keys(path)
         if n_tp == 1 or leaf.ndim < 2:
             return NamedSharding(mesh, P())
-        col = ("qkv_kernel", "mlp/Dense_0/kernel", "linear_q/kernel",
-               "linear_k/kernel", "linear_v/kernel", "w_1/kernel")
-        row = ("attn/proj/kernel", "mlp/Dense_1/kernel", "fc/kernel",
-               "w_2/kernel")
-        if any(name.endswith(c) or c in name for c in col):
+        if any(_endswith(keys, c) for c in TP_COLUMN_RULES):
             if leaf.shape[-1] % n_tp == 0:
                 return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["tensor"])))
-        if any(name.endswith(r) or r in name for r in row):
+        if any(_endswith(keys, r) for r in TP_ROW_RULES):
             if leaf.shape[0] % n_tp == 0:
                 return NamedSharding(mesh, P(*(["tensor"] + [None] * (leaf.ndim - 1))))
         return NamedSharding(mesh, P())

@@ -41,6 +41,12 @@ def make_finetune_step(model, smoothing: float = 0.1, mesh=None, update_freq: in
             logits = model.apply(
                 {"params": params}, images, targets, lens, False, rngs={"dropout": rng}
             )
+            if isinstance(logits, tuple):
+                # SeqClsRecModel returns (logits, cls_logit, cls_maps); the
+                # reference trains on the recognition CE only (the aux
+                # multi-label BCE is eval-side; engine_for_finetuning.py:44,
+                # :262-269)
+                logits = logits[0]
             if smoothing > 0:
                 loss = seq_label_smoothing_cross_entropy(logits, targets, lens, smoothing)
             else:

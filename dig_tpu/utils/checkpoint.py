@@ -163,12 +163,15 @@ def auto_resume(output_dir: str, state):
 # ---------------------------------------------------------------------------
 
 
-def load_torch_checkpoint(path: str) -> dict:
-    """Load a reference .pth checkpoint to numpy (CPU torch required)."""
+def load_torch_checkpoint(path: str, model_key: str = "model|module") -> dict:
+    """Load a reference .pth checkpoint to numpy (CPU torch required).
+    `model_key` is the reference's ``--model_key`` '|'-separated candidate
+    list (run_class_finetuning.py:372-377); ``state_dict`` is always tried
+    as a final fallback."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    for key in ("model", "module", "state_dict"):
+    for key in list(model_key.split("|")) + ["state_dict"]:
         if isinstance(ckpt, dict) and key in ckpt:
             ckpt = ckpt[key]
             break
@@ -186,11 +189,20 @@ def convert_torch_encoder(state_dict: dict, prefix: str = "encoder.") -> dict:
     """Map the reference ViT encoder's torch tensors onto the dig_tpu
     Flax tree (patch_embed conv -> dense kernel, fused qkv, per-block
     norms/mlp).  Key layout follows modeling_finetune.py /
-    modeling_pretrain_vit.py."""
+    modeling_pretrain_vit.py.
+
+    Prefix surgery mirrors run_class_finetuning.py:388-396: the requested
+    prefix is tried first, then the reference's ``backbone.`` remap, then
+    bare keys."""
     out: dict = {}
-    sd = {
-        k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)
-    } or dict(state_dict)
+    sd = dict(state_dict)
+    for pfx in (prefix, "backbone.", "encoder."):
+        stripped = {
+            k[len(pfx):]: v for k, v in state_dict.items() if k.startswith(pfx)
+        }
+        if stripped:
+            sd = stripped
+            break
     for k, v in sd.items():
         v = np.asarray(v)
         if k == "patch_embed.proj.weight":
@@ -242,10 +254,48 @@ def convert_torch_encoder(state_dict: dict, prefix: str = "encoder.") -> dict:
     return out
 
 
-def merge_pretrained_encoder(params: dict, encoder_tree: dict, dest: str = "encoder") -> dict:
+def interpolate_pos_embed(pos, new_grid, old_grid=None,
+                          num_extra_tokens: int = 0):
+    """Bicubic re-interpolation of a learnable positional embedding on
+    input-resolution change (reference: run_class_finetuning.py:403-424).
+
+    `pos` is [1, extra + gh*gw, D].  The reference assumes a SQUARE patch
+    grid (``orig_size = sqrt(n)``), which is wrong for DiG's 8x32 grid;
+    here the true 2-D grid is used — `old_grid` is inferred by preserving
+    the target aspect ratio, falling back to square."""
+    import jax.numpy as jnp
+
+    pos = np.asarray(pos)
+    d = pos.shape[-1]
+    extra = pos[:, :num_extra_tokens]
+    tok = pos[:, num_extra_tokens:]
+    n_old = tok.shape[1]
+    if old_grid is None:
+        ratio = new_grid[0] / new_grid[1]
+        h = int(round((n_old * ratio) ** 0.5)) or 1
+        old_grid = (h, n_old // h)
+        if old_grid[0] * old_grid[1] != n_old:
+            s = int(round(n_old ** 0.5))
+            assert s * s == n_old, (
+                f"cannot infer a {new_grid[0]}:{new_grid[1]} grid from "
+                f"{n_old} position tokens")
+            old_grid = (s, s)
+    print(f"Position interpolate from {old_grid[0]}x{old_grid[1]} "
+          f"to {new_grid[0]}x{new_grid[1]}")
+    grid_pos = jnp.asarray(tok, jnp.float32).reshape(1, *old_grid, d)
+    out = jax.image.resize(grid_pos, (1, *new_grid, d), method="cubic")
+    out = np.asarray(out).reshape(1, new_grid[0] * new_grid[1], d)
+    return np.concatenate([extra, out], axis=1) if num_extra_tokens else out
+
+
+def merge_pretrained_encoder(params: dict, encoder_tree: dict,
+                             dest: str = "encoder",
+                             pos_embed_grid=None) -> dict:
     """Graft a converted encoder tree into a model's params (checkpoint
-    surgery; run_class_finetuning.py:362-441).  Shape-mismatched leaves
-    (e.g. a different-resolution pos_embed) are skipped with a note."""
+    surgery; run_class_finetuning.py:362-441).  A shape-mismatched
+    ``pos_embed`` is bicubically re-interpolated onto `pos_embed_grid`
+    (the target (gh, gw)) like the reference (:403-424); other
+    shape-mismatched leaves are skipped with a note."""
     import copy
 
     params = copy.deepcopy(jax.device_get(params))
@@ -260,6 +310,15 @@ def merge_pretrained_encoder(params: dict, encoder_tree: dict, dest: str = "enco
             else:
                 if k in dst and np.shape(dst[k]) == np.shape(v):
                     dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+                elif (k == "pos_embed" and pos_embed_grid is not None
+                        and k in dst and np.ndim(v) == 3
+                        and np.shape(v)[-1] == np.shape(dst[k])[-1]):
+                    extra = np.shape(dst[k])[1] - (
+                        pos_embed_grid[0] * pos_embed_grid[1])
+                    dst[k] = np.asarray(
+                        interpolate_pos_embed(v, pos_embed_grid,
+                                              num_extra_tokens=max(extra, 0)),
+                        dtype=np.asarray(dst[k]).dtype)
                 else:
                     print(f"skip {path}/{k}: shape {np.shape(v)} vs "
                           f"{np.shape(dst.get(k))}")

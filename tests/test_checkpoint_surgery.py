@@ -1,0 +1,108 @@
+"""--finetune checkpoint surgery parity (reference:
+run_class_finetuning.py:362-441): `backbone.`-prefix remap and bicubic
+pos-embed re-interpolation on input-resolution mismatch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dig_tpu.utils.checkpoint import (
+    convert_torch_encoder,
+    interpolate_pos_embed,
+    merge_pretrained_encoder,
+)
+
+
+def _torch_like_encoder_sd(prefix="", grid=(8, 32), dim=16, depth=1):
+    """A synthetic reference-layout state dict (modeling_finetune.py keys)."""
+    rng = np.random.default_rng(0)
+    n = grid[0] * grid[1]
+    sd = {
+        "patch_embed.proj.weight": rng.normal(size=(dim, 3, 4, 4)).astype(np.float32),
+        "patch_embed.proj.bias": rng.normal(size=(dim,)).astype(np.float32),
+        "pos_embed": rng.normal(size=(1, n, dim)).astype(np.float32),
+        "norm.weight": np.ones((dim,), np.float32),
+        "norm.bias": np.zeros((dim,), np.float32),
+    }
+    for i in range(depth):
+        sd.update({
+            f"blocks.{i}.attn.qkv.weight": rng.normal(size=(3 * dim, dim)).astype(np.float32),
+            f"blocks.{i}.attn.q_bias": np.zeros((dim,), np.float32),
+            f"blocks.{i}.attn.v_bias": np.zeros((dim,), np.float32),
+            f"blocks.{i}.attn.proj.weight": rng.normal(size=(dim, dim)).astype(np.float32),
+            f"blocks.{i}.attn.proj.bias": np.zeros((dim,), np.float32),
+            f"blocks.{i}.norm1.weight": np.ones((dim,), np.float32),
+            f"blocks.{i}.norm1.bias": np.zeros((dim,), np.float32),
+            f"blocks.{i}.norm2.weight": np.ones((dim,), np.float32),
+            f"blocks.{i}.norm2.bias": np.zeros((dim,), np.float32),
+            f"blocks.{i}.mlp.fc1.weight": rng.normal(size=(2 * dim, dim)).astype(np.float32),
+            f"blocks.{i}.mlp.fc1.bias": np.zeros((2 * dim,), np.float32),
+            f"blocks.{i}.mlp.fc2.weight": rng.normal(size=(dim, 2 * dim)).astype(np.float32),
+            f"blocks.{i}.mlp.fc2.bias": np.zeros((dim,), np.float32),
+        })
+    return {prefix + k: v for k, v in sd.items()}
+
+
+def test_backbone_prefix_remap():
+    """`backbone.*` keys are remapped like run_class_finetuning.py:388-391."""
+    sd = _torch_like_encoder_sd(prefix="backbone.")
+    tree = convert_torch_encoder(sd, prefix="encoder.")
+    assert "patch_embed" in tree and "blocks_0" in tree
+    np.testing.assert_array_equal(
+        tree["blocks_0"]["attn"]["qkv_kernel"],
+        sd["backbone.blocks.0.attn.qkv.weight"].T,
+    )
+
+
+def test_encoder_prefix_still_preferred():
+    sd = _torch_like_encoder_sd(prefix="encoder.")
+    tree = convert_torch_encoder(sd, prefix="encoder.")
+    assert "blocks_0" in tree
+
+
+def test_interpolate_pos_embed_identity():
+    """Same-resolution interpolation is (near-)exact."""
+    pos = np.random.default_rng(1).normal(size=(1, 8 * 32, 16)).astype(np.float32)
+    out = interpolate_pos_embed(pos, (8, 32), old_grid=(8, 32))
+    assert np.allclose(out, pos, atol=1e-5)
+
+
+def test_interpolate_pos_embed_aspect_inferred():
+    """The old grid is inferred preserving the target 1:4 aspect ratio
+    (the reference's sqrt assumption breaks on DiG's 8x32 grid)."""
+    pos = np.random.default_rng(2).normal(size=(1, 4 * 16, 16)).astype(np.float32)
+    out = interpolate_pos_embed(pos, (8, 32))  # infers 4x16 source grid
+    assert out.shape == (1, 8 * 32, 16)
+    assert np.isfinite(out).all()
+
+
+def test_merge_interpolates_mismatched_pos_embed():
+    """A learnable pos_embed from a different input resolution lands
+    interpolated, not skipped (reference :403-424)."""
+    from dig_tpu.models.registry import create_model
+
+    enc = create_model("vit_micro_patch4_32x128", return_feat_map=True,
+                       use_learnable_pos_emb=True)
+    images = jnp.zeros((1, 32, 128, 3), jnp.float32)
+    v = enc.init(jax.random.PRNGKey(0), images, deterministic=True)
+    params = {"encoder": jax.device_get(v["params"])}
+    dim = params["encoder"]["pos_embed"].shape[-1]
+
+    # source checkpoint trained at half resolution: 4x16 grid
+    src_pos = np.random.default_rng(3).normal(size=(1, 4 * 16, dim)).astype(np.float32)
+    src = {"pos_embed": src_pos}
+    before = params["encoder"]["pos_embed"].copy()
+    merged = merge_pretrained_encoder(params, src, pos_embed_grid=(8, 32))
+    after = merged["encoder"]["pos_embed"]
+    assert after.shape == before.shape
+    assert not np.allclose(after, before)  # it actually landed
+    expect = interpolate_pos_embed(src_pos, (8, 32))
+    np.testing.assert_allclose(after, expect.astype(after.dtype), rtol=1e-5)
+
+
+def test_merge_skips_truly_incompatible_leaves(capsys):
+    params = {"encoder": {"pos_embed": np.zeros((1, 256, 16), np.float32)}}
+    src = {"pos_embed": np.zeros((1, 64, 32), np.float32)}  # wrong width
+    merged = merge_pretrained_encoder(params, src, pos_embed_grid=(8, 32))
+    assert np.allclose(merged["encoder"]["pos_embed"], 0)
+    assert "skip" in capsys.readouterr().out

@@ -8,6 +8,8 @@ import pytest
 
 from dig_tpu.data.lmdb_store import LmdbWriter
 
+pytestmark = pytest.mark.slow
+
 
 def encode_jpeg(img):
     import cv2
@@ -119,6 +121,40 @@ def test_finetune_cli_train_and_eval(fixture_lmdb, tmp_path):
     assert len(results) == 2
     for r in results:
         assert 0.0 <= r["acc"] <= 1.0 and r["n"] == 16
+
+
+def test_text_cond_cli_train_and_eval(fixture_lmdb, tmp_path):
+    """--text_cond_vis trains one epoch and greedy-evaluates (the reference
+    flag run_class_finetuning.py:60 threaded into every decoder layer)."""
+    from dig_tpu.cli.run_finetune import main
+    from dig_tpu.config import FinetuneConfig
+
+    out = str(tmp_path / "tc")
+    main(FinetuneConfig(
+        model="vit_micro_patch4_32x128", decoder_name="small_tf_decoder",
+        text_cond_vis=True,
+        data_path=[fixture_lmdb], eval_data_path=fixture_lmdb,
+        batch_size=1, epochs=1, warmup_epochs=0, num_workers=2,
+        output_dir=out, eval_freq=0, dtype="float32",
+    ))
+    assert os.path.isdir(os.path.join(out, "checkpoint-0"))
+
+
+def test_decoupled_cli_train_and_eval(fixture_lmdb, tmp_path):
+    """--decoder_name decoupled_tf_decoder builds a SeqClsRecModel (class
+    queries feed the decoupled decoder), trains, and greedy-evaluates
+    through the decoupled graph."""
+    from dig_tpu.cli.run_finetune import main
+    from dig_tpu.config import FinetuneConfig
+
+    out = str(tmp_path / "dc")
+    main(FinetuneConfig(
+        model="vit_micro_patch4_32x128", decoder_name="decoupled_tf_decoder",
+        data_path=[fixture_lmdb], eval_data_path=fixture_lmdb,
+        batch_size=1, epochs=1, warmup_epochs=0, num_workers=2,
+        output_dir=out, eval_freq=0, dtype="float32",
+    ))
+    assert os.path.isdir(os.path.join(out, "checkpoint-0"))
 
 
 def test_ctc_cli_train_and_eval(fixture_lmdb, tmp_path):

@@ -25,6 +25,7 @@ def tiny_enc(**kw):
     return VisionTransformer(**d)
 
 
+@pytest.mark.slow
 def test_seq_cls_token_vit():
     m = tiny_enc(use_seq_cls_token=True, max_seq_len=7)
     x = jnp.zeros((2, 32, 128, 3))
@@ -44,6 +45,7 @@ def test_mem_slots_vit():
     assert m2.apply(v2, x).shape == (2, 260, 32)
 
 
+@pytest.mark.slow
 def test_decoupled_decoder_train():
     dec = DecoupledTFDecoder(num_classes=97, n_layers=1, d_embedding=32, n_head=2,
                              d_k=16, d_v=16, d_model=32, d_inner=64, max_seq_len=5)
@@ -59,6 +61,7 @@ def test_decoupled_decoder_train():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_text_cond_decoder_layer():
     layer = TextCondDecoderLayer(d_model=32, d_inner=64, n_head=2, d_k=16, d_v=16)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 32))
@@ -68,6 +71,7 @@ def test_text_cond_decoder_layer():
     assert y.shape == (2, 5, 32)
 
 
+@pytest.mark.slow
 def test_attn_rec_head_train_and_sample():
     head = AttentionRecognitionHead(num_classes=12, s_dim=16, att_dim=16,
                                     max_len_labels=5)
@@ -225,6 +229,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert extra["epoch"] == 3
 
 
+@pytest.mark.slow
 def test_gru_beam_search():
     head = AttentionRecognitionHead(num_classes=12, s_dim=16, att_dim=16,
                                     max_len_labels=5)

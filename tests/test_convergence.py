@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 from dig_tpu.optim import make_optimizer
+
+pytestmark = pytest.mark.slow
 from dig_tpu.train.pretrain import init_pretrain_state, make_pretrain_step
 from dig_tpu.utils.schedules import (
     contrast_weight_schedule,

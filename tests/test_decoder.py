@@ -95,6 +95,7 @@ def test_greedy_dense_matches_cached(dec_and_vars):
     assert np.allclose(np.asarray(probs_c), np.asarray(probs_d), atol=3e-3)
 
 
+@pytest.mark.slow
 def test_greedy_jits(dec_and_vars):
     dec, variables, enc = dec_and_vars
     fn = jax.jit(lambda v, e: dec.apply(v, e, method=dec.greedy_decode))
@@ -144,6 +145,7 @@ def test_greedy_dense_early_exit_matches(dec_and_vars):
         assert np.array_equal(row_f[:stop], row_e[:stop])
 
 
+@pytest.mark.slow
 def test_beam_dense_matches_cached_beam(dec_and_vars):
     dec, variables, enc = dec_and_vars
     eos = dec.num_classes - 3

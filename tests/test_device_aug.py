@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dig_tpu.data.device_aug import batched_affine_warp, device_augment
 
@@ -21,6 +22,7 @@ def test_translate_warp():
     assert float(y[0, 2, 2, 0]) < 0.1
 
 
+@pytest.mark.slow
 def test_device_augment_shapes_and_range():
     key = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (4, 32, 128, 3)).astype(np.float32))
@@ -32,6 +34,7 @@ def test_device_augment_shapes_and_range():
     assert not np.allclose(np.asarray(y), np.asarray(y2))
 
 
+@pytest.mark.slow
 def test_device_aug_pretrain_step():
     from dig_tpu.optim import make_optimizer
     from dig_tpu.train.pretrain import (

@@ -41,6 +41,7 @@ def make_batch(b=4, max_len=5, num_classes=12):
     }
 
 
+@pytest.mark.slow
 def test_frozen_layers_do_not_update():
     model = RecModel(encoder=tiny_enc(), decoder=tiny_dec())
     lr = cosine_schedule(1e-2, 1e-3, 1, 4)
@@ -69,6 +70,7 @@ def test_frozen_layers_do_not_update():
     assert tdiff(p0["decoder"], p1["decoder"]) > 0.0
 
 
+@pytest.mark.slow
 def test_distill_step():
     student = RecModel(encoder=tiny_enc(), decoder=tiny_dec(), use_feat_distill=True)
     lr = cosine_schedule(1e-3, 1e-4, 1, 4)
@@ -83,6 +85,7 @@ def test_distill_step():
     assert pred_ids.shape == batch["targets"].shape
 
 
+@pytest.mark.slow
 def test_ctc_step_learns():
     num_classes = 12
     model = CTCRecModel(encoder=tiny_enc(), nb_classes=num_classes, d_embedding=32)
@@ -124,6 +127,7 @@ def test_seq_cls_rec_model_with_decoupled_decoder():
     assert cls_logit.shape == (2, 12)
 
 
+@pytest.mark.slow
 def test_update_freq_accumulation():
     """optax.MultiSteps-wrapped optimizer applies updates every k steps."""
     import optax

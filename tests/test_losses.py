@@ -95,6 +95,7 @@ def test_info_nce_scaling_matches_reference():
     assert np.isclose(float(got), float(ce) * 2 * t, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_simclr_prefers_aligned_views():
     rng = np.random.default_rng(6)
     z = jnp.asarray(rng.normal(size=(4, 32, 16)).astype(np.float32))

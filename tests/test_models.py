@@ -22,6 +22,7 @@ def test_vit_feature_map_shape():
     assert y.shape == (2, 256, 32)
 
 
+@pytest.mark.slow
 def test_pretrain_encoder_mask_token_substitution():
     m = PretrainViTEncoder(img_size=(32, 128), patch_size=4, embed_dim=32, depth=1,
                            num_heads=2, qkv_bias=True)

@@ -33,6 +33,7 @@ def test_attention_kernel_interpreted():
     assert np.allclose(np.asarray(out_k), np.asarray(out_r), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_attention_kernel_grads_interpreted():
     B, L, H, D = 1, 128, 2, 64
     q = jax.random.normal(jax.random.PRNGKey(0), (B, L, H, D))
@@ -58,6 +59,7 @@ def test_layernorm_kernel_interpreted():
     assert np.allclose(np.asarray(y_k), np.asarray(y_r), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_layernorm_kernel_grads_interpreted():
     x = jax.random.normal(jax.random.PRNGKey(0), (1024, 128))
     g = jax.random.normal(jax.random.PRNGKey(1), (128,)) + 1.0

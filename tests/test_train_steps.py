@@ -44,6 +44,7 @@ def test_device_count():
     assert jax.device_count() == 8
 
 
+@pytest.mark.slow
 def test_pretrain_step_runs_and_updates_ema():
     model = tiny_pretrain_model()
     steps = 4
@@ -82,6 +83,7 @@ def test_pretrain_step_runs_and_updates_ema():
     assert int(state.step) == 3
 
 
+@pytest.mark.slow
 def test_pretrain_simmim_only():
     model = tiny_pretrain_model(use_moco_target=False, use_pix_projector=False)
     lr = cosine_schedule(1e-3, 1e-5, 1, 2)
@@ -106,6 +108,7 @@ def tiny_rec_model(num_classes=12, max_len=6):
     return RecModel(encoder=enc, decoder=dec)
 
 
+@pytest.mark.slow
 def test_finetune_overfit_and_eval():
     num_classes, max_len, b = 12, 6, 8
     model = tiny_rec_model(num_classes, max_len)
