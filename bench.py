@@ -22,6 +22,11 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache: first-compile latency through remote-compile
+# relays is high and variable (50-270 s measured); reruns should not pay it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/dig_tpu_xla"))
+
 A100_BASELINE_IMGS_PER_SEC = 850.0
 A100_EVAL_BASELINE_IMGS_PER_SEC = 400.0
 

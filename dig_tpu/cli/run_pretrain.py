@@ -55,6 +55,7 @@ def build_model(cfg: PretrainConfig):
         patchnet_name=cfg.patchnet_name,
         label_smoothing=cfg.label_smoothing,
         drop_path_rate=cfg.drop_path,
+        remat=cfg.remat,
         dtype=dtype,
     )
 

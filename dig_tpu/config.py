@@ -77,6 +77,7 @@ class PretrainConfig:
     dtype: str = "bfloat16"
     # TPU-native additions
     device_aug: bool = False  # second view + masks generated on device
+    remat: bool = False  # rematerialize encoder blocks (fits larger models/batches)
     n_fsdp: int = 1
     n_tensor: int = 1
 

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dig_tpu.models.layers import make_causal_mask, make_pad_mask, sinusoid_position_table
+from dig_tpu.ops.activations import gelu
 from dig_tpu.ops.attention import multi_head_attention
 
 
@@ -110,7 +111,7 @@ class PositionwiseFeedForward(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         d_in = x.shape[-1]
         x = nn.Dense(self.d_inner, dtype=self.dtype, name="w_1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(d_in, dtype=self.dtype, name="w_2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -608,7 +609,7 @@ class Order2Cls(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.d_inner, dtype=self.dtype)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.num_classes, dtype=self.dtype)(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dig_tpu.ops.activations import gelu
 from dig_tpu.ops.attention import multi_head_attention, multi_head_attention_packed
 from dig_tpu.ops.layernorm import layer_norm as fused_layer_norm
 
@@ -83,7 +84,7 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         out_dim = self.out_dim or x.shape[-1]
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init)(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from dig_tpu.models.layers import CrossBlock, xavier_uniform_init
 from dig_tpu.models.registry import register_model
 from dig_tpu.models.vit import PretrainViTEncoder
+from dig_tpu.ops.activations import gelu
 
 
 class BatchStatsNorm(nn.Module):
@@ -180,7 +181,7 @@ class PixDecoder(nn.Module):
         x = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name="fc0")(x)
         x = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name="fc1")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
 
 
@@ -210,6 +211,7 @@ class DiGPretrainModel(nn.Module):
     use_pix_projector: bool = True
     patchnet_name: str = "regular"  # regular | no_patchtrans | conv
     label_smoothing: float = 0.0
+    remat: bool = False  # rematerialize encoder blocks (bandwidth-bound step)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -230,6 +232,7 @@ class DiGPretrainModel(nn.Module):
             attn_drop_rate=self.attn_drop_rate, drop_path_rate=self.drop_path_rate,
             # MoCo_ViT strips the encoder's final LN (reference :362-363)
             use_final_norm=not self.use_moco_target,
+            remat=self.remat,
             dtype=self.dtype,
         )
         if self.use_moco_target:

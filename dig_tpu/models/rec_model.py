@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from dig_tpu.models.attn_decoder import AttentionRecognitionHead
 from dig_tpu.models.decoder import TFDecoder, create_decoder
+from dig_tpu.ops.activations import gelu
 from dig_tpu.models.registry import create_model
 from dig_tpu.models.vit import VisionTransformer
 
@@ -123,7 +124,7 @@ class CTCRecModel(nn.Module):
         x = enc.reshape(b, gh, gw, c).mean(axis=1)
         x = nn.Dense(self.d_embedding, dtype=self.dtype, name="fc0")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         return nn.Dense(self.nb_classes + 1, dtype=self.dtype, name="fc1")(x)
 
 
@@ -168,7 +169,7 @@ class MimRecModel(nn.Module):
         self.pix_head = nn.Sequential([
             nn.Dense(self.pix_dim, use_bias=False, dtype=self.dtype),
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype),
-            lambda x: nn.gelu(x, approximate=False),
+            gelu,
             nn.Dense(self.pix_classes, dtype=self.dtype),
         ])
         if self.use_mim_proj:
@@ -176,7 +177,7 @@ class MimRecModel(nn.Module):
             self.mim_proj = nn.Sequential([
                 nn.Dense(dim * 2, dtype=self.dtype),
                 nn.LayerNorm(epsilon=1e-6, dtype=self.dtype),
-                lambda x: nn.gelu(x, approximate=False),
+                gelu,
                 nn.Dense(dim, dtype=self.dtype),
                 nn.LayerNorm(epsilon=1e-6, dtype=self.dtype),
             ])

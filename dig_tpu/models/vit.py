@@ -56,6 +56,7 @@ class VisionTransformer(nn.Module):
     max_seq_len: int = 25
     num_mem_slots: int = 0  # frozen memory-bank tokens (:263-269)
     use_mem_in_decoder: bool = False
+    remat: bool = False  # rematerialize each block in the backward pass
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -120,8 +121,13 @@ class VisionTransformer(nn.Module):
             n_cls = self.max_seq_len
 
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
+        # memory knob, off by default: recomputing blocks in the backward
+        # costs ~20% step time on v5e at ViT-S/batch-128 but is what lets
+        # ViT-base-and-up or very large batches fit in HBM
+        block_cls = (nn.remat(Block, static_argnums=(3,))
+                     if self.remat else Block)
         for i in range(self.depth):
-            x = Block(
+            x = block_cls(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
@@ -132,7 +138,7 @@ class VisionTransformer(nn.Module):
                 init_values=self.init_values,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, deterministic=deterministic)
+            )(x, None, deterministic)
 
         if self.num_mem_slots > 0 and not self.use_mem_in_decoder:
             x = x[:, : x.shape[1] - self.num_mem_slots]
@@ -174,6 +180,7 @@ class PretrainViTEncoder(nn.Module):
     init_values: float = 0.0
     use_learnable_pos_emb: bool = False
     use_final_norm: bool = True  # MoCo_ViT replaces the last LN with Identity
+    remat: bool = False  # rematerialize each block in the backward pass
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -212,8 +219,11 @@ class PretrainViTEncoder(nn.Module):
         x = x + jnp.asarray(pos, dtype=x.dtype)
 
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
+        # memory knob, off by default (see VisionTransformer)
+        block_cls = (nn.remat(Block, static_argnums=(3,))
+                     if self.remat else Block)
         for i in range(self.depth):
-            x = Block(
+            x = block_cls(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
@@ -224,7 +234,7 @@ class PretrainViTEncoder(nn.Module):
                 init_values=self.init_values,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, deterministic=deterministic)
+            )(x, None, deterministic)
         if self.use_final_norm:
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x

@@ -47,11 +47,20 @@ def _ref_attention(q, k, v, mask, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim,
                  rows):
     """All heads of `rows` batch rows.  Refs are [rows, L, H*D]; heads are
     static column slices, so q/k/v stay in their projection layout and the
-    caller never transposes."""
+    caller never transposes.
+
+    Softmax is VPU-bound at this geometry (the matmuls alone are ~8x
+    faster), so it is arranged for the VPU: scale*log2e folded into q so
+    the exponent is a native exp2, and the 1/sum normalization applied to
+    the [L, D] output of the AV matmul instead of the [L, L] weights —
+    T/head_dim x fewer multiplies and no wide fp32 divide."""
     for r in range(rows):
         for h in range(num_heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -59,12 +68,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim,
             k = k_ref[r, :, sl]
             v = v_ref[r, :, sl]
             logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                q * jnp.asarray(scale * _LOG2E, q_ref.dtype), k,
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            weights = jax.nn.softmax(logits * scale, axis=-1)
-            o_ref[r, :, sl] = jax.lax.dot_general(
-                weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            e = jnp.exp2(logits - jnp.max(logits, axis=-1, keepdims=True))
+            o = jax.lax.dot_general(
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            )
+            o_ref[r, :, sl] = (
+                o / jnp.sum(e, axis=-1, keepdims=True)
             ).astype(o_ref.dtype)
 
 
@@ -79,26 +92,33 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
             q = q_ref[r, :, sl]
             k = k_ref[r, :, sl]
             v = v_ref[r, :, sl]
-            do = do_ref[r, :, sl]
+            do = do_ref[r, :, sl].astype(jnp.float32)
             logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            w = jax.nn.softmax(logits, axis=-1)  # [Lq, Lk] fp32
+                q * jnp.asarray(scale * _LOG2E, q_ref.dtype), k,
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # unnormalized softmax: w == e * rs per row; every 1/s factor is
+            # applied to a narrow [L, D] operand instead of the [Lq, Lk] tile
+            e = jnp.exp2(logits - jnp.max(logits, axis=-1, keepdims=True))
+            rs = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
             dv_ref[r, :, sl] = jax.lax.dot_general(
-                w.astype(v.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                e.astype(v.dtype), (do * rs).astype(v.dtype),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             ).astype(dv_ref.dtype)
             dw = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
             )
-            ds = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))).astype(q.dtype)
+            c = jnp.sum(dw * e, axis=-1, keepdims=True) * rs
+            ds0 = (e * (dw - c)).astype(q.dtype)  # unnormalized ds / scale
             dq_ref[r, :, sl] = (
-                jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
+                jax.lax.dot_general(ds0, k, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                * (scale * rs)
             ).astype(dq_ref.dtype)
-            dk_ref[r, :, sl] = (
-                jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
+            dk_ref[r, :, sl] = jax.lax.dot_general(
+                ds0, (q.astype(jnp.float32) * (scale * rs)).astype(q.dtype),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             ).astype(dk_ref.dtype)
 
 

@@ -22,7 +22,17 @@ import jax.numpy as jnp
 
 from dig_tpu.models.layers import sinusoid_position_table
 from dig_tpu.models.vit import PretrainViTEncoder
+from dig_tpu.ops import activations
 from dig_tpu.utils.checkpoint import convert_torch_encoder
+
+@pytest.fixture(autouse=True)
+def exact_gelu():
+    # bit-parity with torch F.gelu needs the erf form (the framework
+    # default is the tanh form; see dig_tpu/ops/activations.py)
+    old = activations.EXACT
+    activations.EXACT = True
+    yield
+    activations.EXACT = old
 
 EMBED, DEPTH, HEADS = 64, 2, 2
 IMG = (32, 128)
