@@ -24,6 +24,7 @@ import numpy as np
 
 from dig_tpu.data.lmdb_store import LmdbReader
 from dig_tpu.data.masking import RandomMaskingGenerator
+from dig_tpu.data.pipeline import ThreadLocalRng
 from dig_tpu.data.transforms import (
     ABIAugment,
     SeqCLRAugment,
@@ -82,7 +83,9 @@ class ImageLmdb:
         self.charset = build_charset(voc_type, max_len)
         self.img_height, self.img_width = img_height, img_width
         self.use_aug = use_aug
-        rng = rng if rng is not None else np.random.default_rng()
+        # per-thread child streams: the loader fans single samples out to
+        # worker threads, and numpy Generators are not thread-safe
+        rng = ThreadLocalRng(rng if rng is not None else np.random.default_rng())
         self.rng = rng
         if use_aug:
             if use_abi_aug:
@@ -160,7 +163,7 @@ class AloneImageLmdb:
             n = int(n * num_samples)
         self.num_samples_total = n
         self.img_height, self.img_width = img_height, img_width
-        rng = rng if rng is not None else np.random.default_rng()
+        rng = ThreadLocalRng(rng if rng is not None else np.random.default_rng())
         self.rng = rng
         self.use_aug = use_aug
         self.num_view = num_view

@@ -13,6 +13,7 @@ from typing import Optional
 import numpy as np
 
 from dig_tpu.data.dataset import decode_image
+from dig_tpu.data.pipeline import ThreadLocalRng
 from dig_tpu.data.transforms import resize_normalize
 
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif",
@@ -43,7 +44,7 @@ class ImageFolder:
                         self.samples.append((os.path.join(base, fname), -1))
         self.img_height, self.img_width = img_height, img_width
         self.transform = transform
-        self.rng = rng if rng is not None else np.random.default_rng()
+        self.rng = ThreadLocalRng(rng if rng is not None else np.random.default_rng())
 
     def __len__(self):
         return len(self.samples)

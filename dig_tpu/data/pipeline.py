@@ -18,6 +18,30 @@ from typing import Callable, Iterable, Iterator, Optional
 import numpy as np
 
 
+class ThreadLocalRng:
+    """numpy Generator facade that hands each thread its own independent
+    child stream (``Generator.spawn``).  numpy Generators are not
+    thread-safe; with the loader's per-sample fan-out, augmentation code
+    holding one shared Generator would race.  Single-threaded use sees
+    exactly one child stream, so seeded runs stay reproducible."""
+
+    def __init__(self, base: np.random.Generator):
+        self._base = base
+        self._lock = threading.Lock()
+        self._tl = threading.local()
+
+    def _rng(self) -> np.random.Generator:
+        g = getattr(self._tl, "g", None)
+        if g is None:
+            with self._lock:
+                g = self._base.spawn(1)[0]
+            self._tl.g = g
+        return g
+
+    def __getattr__(self, name):
+        return getattr(self._rng(), name)
+
+
 def _stack(samples):
     """Collate a list of per-sample tuples/dicts into batched numpy arrays."""
     first = samples[0]
@@ -101,21 +125,27 @@ class DataLoader:
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 pending = []
+
+                def drain(futs):
+                    out_q.put(("ok", self.collate([f.result() for f in futs])))
+
                 try:
                     for batch_idx in self._batches():
                         if stop.is_set():
                             break
-                        fut = pool.submit(
-                            lambda ids: self.collate([self.dataset[i] for i in ids]),
-                            batch_idx,
+                        # fan out per SAMPLE, not per batch: decode/aug of one
+                        # batch spreads over all workers (cv2/numpy release
+                        # the GIL), so batch latency is ~1/num_workers of the
+                        # serial cost on multi-core hosts
+                        pending.append(
+                            [pool.submit(self.dataset.__getitem__, i) for i in batch_idx]
                         )
-                        pending.append(fut)
                         while len(pending) >= self.prefetch:
-                            out_q.put(("ok", pending.pop(0).result()))
-                    for fut in pending:
+                            drain(pending.pop(0))
+                    for futs in pending:
                         if stop.is_set():
                             break
-                        out_q.put(("ok", fut.result()))
+                        drain(futs)
                     out_q.put(("end", None))
                 except Exception as e:  # propagate into the consumer
                     out_q.put(("err", e))
