@@ -39,20 +39,25 @@ FONTS = [
     cv2.FONT_HERSHEY_COMPLEX_SMALL, cv2.FONT_HERSHEY_SCRIPT_SIMPLEX,
     cv2.FONT_HERSHEY_SCRIPT_COMPLEX,
 ]
+EASY_FONTS = FONTS[:6]  # drop the cursive script faces
 CHARS = string.digits + string.ascii_lowercase
 
 
-def make_word_pool(rng: np.random.Generator, n_words: int):
-    """Random words, MJSynth-like length distribution (2-10 chars)."""
+def make_word_pool(rng: np.random.Generator, n_words: int, max_len: int = 10):
+    """Random words, MJSynth-like length distribution (2-max_len chars)."""
     pool = set()
     while len(pool) < n_words:
-        length = int(np.clip(rng.poisson(4.5) + 2, 2, 10))
+        length = int(np.clip(rng.poisson(4.5) + 2, 2, max_len))
         pool.add("".join(rng.choice(list(CHARS), size=length)))
     return sorted(pool)
 
 
-def render_word(rng: np.random.Generator, word: str) -> bytes:
-    font = FONTS[rng.integers(len(FONTS))]
+def render_word(rng: np.random.Generator, word: str, easy: bool = False) -> bytes:
+    """`easy` drops the cursive fonts and the full-noise backgrounds —
+    a regime small supervised budgets can learn from (used by the SSL
+    validation runs; the default regime matches scene-text difficulty)."""
+    fonts = EASY_FONTS if easy else FONTS
+    font = fonts[rng.integers(len(fonts))]
     scale = float(rng.uniform(0.7, 1.6))
     thickness = int(rng.integers(1, 3))
     (tw, th), baseline = cv2.getTextSize(word, font, scale, thickness)
@@ -61,11 +66,11 @@ def render_word(rng: np.random.Generator, word: str) -> bytes:
     w, h = tw + 2 * pad_x, th + baseline + 2 * pad_y
 
     # background: noise / flat / vertical gradient
-    bg_kind = rng.integers(3)
+    bg_kind = rng.integers(2 if easy else 3)
     base = rng.integers(0, 256, 3)
-    if bg_kind == 0:
+    if bg_kind == 0 and not easy:
         img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
-    elif bg_kind == 1:
+    elif bg_kind == 0 or bg_kind == 1:
         img = np.full((h, w, 3), base, np.uint8)
     else:
         g = np.linspace(0, rng.integers(40, 120), h)[:, None, None]
@@ -97,11 +102,12 @@ def render_word(rng: np.random.Generator, word: str) -> bytes:
     return buf.tobytes()
 
 
-def write_split(path: str, rng: np.random.Generator, words, n: int):
+def write_split(path: str, rng: np.random.Generator, words, n: int,
+                easy: bool = False):
     with LmdbWriter(path) as w:
         for i in range(1, n + 1):
             word = words[rng.integers(len(words))]
-            w.put(b"image-%09d" % i, render_word(rng, word))
+            w.put(b"image-%09d" % i, render_word(rng, word, easy=easy))
             w.put(b"label-%09d" % i, word.encode())
             if i % 5000 == 0:
                 print(f"  {path}: {i}/{n}", flush=True)
@@ -117,19 +123,26 @@ def main():
     ap.add_argument("--test", type=int, default=5000)
     ap.add_argument("--train_words", type=int, default=8000)
     ap.add_argument("--test_words", type=int, default=2000)
+    ap.add_argument("--max_word_len", type=int, default=10)
+    ap.add_argument("--easy", action="store_true",
+                    help="no cursive fonts / noise backgrounds")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    pool = make_word_pool(rng, args.train_words + args.test_words)
+    pool = make_word_pool(rng, args.train_words + args.test_words,
+                          max_len=args.max_word_len)
     perm = rng.permutation(len(pool))
     train_words = [pool[i] for i in perm[: args.train_words]]
     test_words = [pool[i] for i in perm[args.train_words:]]
 
     os.makedirs(args.out_dir, exist_ok=True)
-    write_split(os.path.join(args.out_dir, "train"), rng, train_words, args.train)
-    write_split(os.path.join(args.out_dir, "labeled"), rng, train_words, args.labeled)
-    write_split(os.path.join(args.out_dir, "test"), rng, test_words, args.test)
+    write_split(os.path.join(args.out_dir, "train"), rng, train_words,
+                args.train, easy=args.easy)
+    write_split(os.path.join(args.out_dir, "labeled"), rng, train_words,
+                args.labeled, easy=args.easy)
+    write_split(os.path.join(args.out_dir, "test"), rng, test_words,
+                args.test, easy=args.easy)
 
 
 if __name__ == "__main__":
