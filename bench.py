@@ -30,6 +30,39 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 A100_BASELINE_IMGS_PER_SEC = 850.0
 A100_EVAL_BASELINE_IMGS_PER_SEC = 400.0
 
+# peak dense bf16 matmul throughput per chip, by device_kind substring
+# (public spec sheets; override with BENCH_PEAK_TFLOPS)
+PEAK_TFLOPS = [
+    ("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0), ("v5", 459.0),
+    ("v4", 275.0), ("v6e", 918.0), ("v6", 918.0), ("v3", 123.0),
+    ("v2", 45.0),
+]
+
+
+def device_peak_tflops():
+    import jax
+
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, tf in PEAK_TFLOPS:
+        if sub in kind:
+            return tf
+    return None
+
+
+def program_flops(jitted, *args, **kwargs):
+    """FLOPs of one execution from XLA's own cost analysis (regenerable,
+    no hand math).  Returns None when the backend doesn't report it."""
+    try:
+        an = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        return float(an["flops"])
+    except Exception:
+        return None
+
 
 def eval_bench():
     import jax
@@ -82,6 +115,89 @@ def eval_bench():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(per_chip / A100_EVAL_BASELINE_IMGS_PER_SEC, 3),
     }))
+
+
+def _pretrain_breakdown(model, state, step_fn, batch, key, wall_step_s):
+    """Per-pass device timings (ms), regenerating the README/ROOFLINE step
+    budget: student forward, momentum-key forward, pure device step time
+    from a chained 5-step scan (no host dispatch), the backward+update
+    residual, and the host-dispatch residual.  Memoization-safe over the
+    axon relay: every program chains a drifting scalar through its inputs
+    and outputs and a host scalar fetch is the completion barrier."""
+    import jax
+    import jax.numpy as jnp
+
+    images, aug, mask = batch["images"], batch["aug_images"], batch["mask"]
+    all_images = jnp.concatenate([images, aug], axis=0)
+    m = mask.at[:, 1].set(False)  # only_mim_on_ori_img default
+    flat_mask = m.transpose(1, 0, 2).reshape(-1, m.shape[-1])
+    rngk = jax.random.PRNGKey(2)
+
+    n_scan = 5
+
+    def timeit_scanned(fn, *args, iters=3):
+        """Per-iteration device time of `fn(*args, s) -> s`, amortizing the
+        per-call relay dispatch over an n_scan-deep in-program loop."""
+
+        @jax.jit
+        def scanned(s, *a):
+            return jax.lax.fori_loop(0, n_scan, lambda i, s: fn(s, *a), s)
+
+        s = jnp.float32(0.0)
+        s = scanned(s, *args)
+        float(s)  # compile + warm
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            s = scanned(s, *args)
+            float(s)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2] / n_scan
+
+    def student_fwd(s, params):
+        out = model.apply({"params": params}, all_images + s * 1e-20,
+                          flat_mask, False, rngs={"dropout": rngk},
+                          method=model.forward_student)
+        return s + 1e-6 + out["q1"].ravel()[0].astype(jnp.float32) * 1e-20
+
+    def key_fwd(s, ema):
+        k1, _ = model.apply({"params": ema}, all_images + s * 1e-20,
+                            flat_mask, True, method=model.forward_key)
+        return s + 1e-6 + k1.ravel()[0].astype(jnp.float32) * 1e-20
+
+    raw = step_fn.raw
+
+    @jax.jit
+    def scan_steps(st, b, k):
+        def body(i, st):
+            st2, _ = raw(st, b, jax.random.fold_in(k, i))
+            return st2
+
+        st = jax.lax.fori_loop(0, n_scan - 1, body, st)
+        st, metrics = raw(st, b, jax.random.fold_in(k, n_scan - 1))
+        return st, metrics["loss"]
+
+    fwd_ms = timeit_scanned(student_fwd, state.params) * 1e3
+    kfwd_ms = timeit_scanned(key_fwd, state.ema_params) * 1e3
+
+    st = state
+    st, loss = scan_steps(st, batch, jax.random.fold_in(key, 0))
+    float(loss)  # compile + warm
+    ts = []
+    for i in range(1, 4):
+        t0 = time.perf_counter()
+        st, loss = scan_steps(st, batch, jax.random.fold_in(key, i))
+        float(loss)
+        ts.append(time.perf_counter() - t0)
+    device_step_ms = sorted(ts)[len(ts) // 2] / n_scan * 1e3
+
+    return {
+        "student_fwd": round(fwd_ms, 2),
+        "key_fwd": round(kfwd_ms, 2),
+        "step_device": round(device_step_ms, 2),
+        "bwd_opt": round(device_step_ms - fwd_ms - kfwd_ms, 2),
+        "dispatch": round(max(wall_step_s * 1e3 - device_step_ms, 0.0), 2),
+    }
 
 
 def main():
@@ -155,12 +271,25 @@ def main():
     assert final_loss == final_loss, "NaN loss in benchmark"
 
     per_chip = batch * steps / dt / n_chips
-    print(json.dumps({
+    result = {
         "metric": "pretrain_imgs_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(per_chip / A100_BASELINE_IMGS_PER_SEC, 3),
-    }))
+        "step_ms": round(dt / steps * 1e3, 2),
+    }
+
+    # MFU from XLA's own per-step flop count + the chip's spec-sheet peak
+    flops = program_flops(step_fn, state, device_batch, key)
+    peak = device_peak_tflops()
+    if flops and peak:
+        result["mfu"] = round(flops / (dt / steps) / n_chips / (peak * 1e12), 4)
+        result["step_tflops"] = round(flops / 1e12, 3)
+
+    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+        result["breakdown_ms"] = _pretrain_breakdown(
+            model, state, step_fn, device_batch, key, dt / steps)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -37,8 +37,11 @@ from dig_tpu.utils.charset import build_charset
 from dig_tpu.utils.checkpoint import (
     auto_resume,
     convert_torch_encoder,
+    convert_torch_recognizer,
+    has_decoder_keys,
     load_torch_checkpoint,
     merge_pretrained_encoder,
+    merge_pretrained_tree,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -77,9 +80,18 @@ def load_finetune_init(cfg: FinetuneConfig, state: TrainState,
     grid = model.encoder.patch_shape if model is not None else None
     if path.endswith(".pth") or path.endswith(".pt"):
         sd = load_torch_checkpoint(path, model_key=cfg.model_key)
-        enc_tree = convert_torch_encoder(sd, prefix=cfg.model_prefix or "encoder.")
-        params = merge_pretrained_encoder(state.params, enc_tree,
-                                          pos_embed_grid=grid)
+        if has_decoder_keys(sd):
+            # finetuned reference checkpoint: the surgery loads the WHOLE
+            # model dict — decoder + linear_norm included
+            # (run_class_finetuning.py:362-441)
+            tree = convert_torch_recognizer(sd)
+            params = merge_pretrained_tree(state.params, tree,
+                                           pos_embed_grid=grid)
+        else:
+            enc_tree = convert_torch_encoder(
+                sd, prefix=cfg.model_prefix or "encoder.")
+            params = merge_pretrained_encoder(state.params, enc_tree,
+                                              pos_embed_grid=grid)
     else:
         payload = restore_checkpoint(path)
         src = payload["params"].get("encoder", payload["params"])
@@ -147,6 +159,20 @@ def main(cfg: FinetuneConfig):
         ScreenTee(cfg.output_dir).install()
     print(config_to_json(cfg))
 
+    # GELU form must be fixed BEFORE any model code is traced (see
+    # dig_tpu/ops/activations.py).  Auto: converted .pth weights were
+    # trained under torch's erf-GELU, so evaluate them under erf.
+    from dig_tpu.ops import activations
+
+    exact = cfg.exact_gelu
+    if exact is None:
+        exact = any(p.endswith((".pth", ".pt")) for p in (cfg.finetune, cfg.resume))
+        if exact:
+            print("torch checkpoint requested: using exact (erf) GELU "
+                  "(override with --exact_gelu false)")
+    if exact != activations.EXACT:
+        activations.set_exact(exact)
+
     n_devices = jax.device_count()
     cfg.finalize(n_devices)
     mesh = create_mesh(n_fsdp=cfg.n_fsdp, n_tensor=cfg.n_tensor)
@@ -195,9 +221,21 @@ def main(cfg: FinetuneConfig):
         rng=rng,
     )
     local_batch = cfg.batch_size * (n_devices // world)
-    sampler = ShardedSampler(len(train_ds), rank=rank, world=world, seed=cfg.seed)
-    loader = DataLoader(train_ds, sampler, batch_size=local_batch,
-                        num_workers=cfg.num_workers)
+    if cfg.batch_wise_shuffle:
+        # every batch drawn from ONE source LMDB (the sampler the reference
+        # ships but never wires; dist_multisrc_batch_sampler.py:14-154)
+        from dig_tpu.data.samplers import MultiSourceBatchSampler
+
+        sampler = MultiSourceBatchSampler(
+            getattr(train_ds, "cumulative_sizes", [len(train_ds)]),
+            batch_size=local_batch, rank=rank, world=world, seed=cfg.seed)
+        loader = DataLoader(train_ds, sampler, batch_size=None,
+                            num_workers=cfg.num_workers)
+    else:
+        sampler = ShardedSampler(len(train_ds), rank=rank, world=world,
+                                 seed=cfg.seed)
+        loader = DataLoader(train_ds, sampler, batch_size=local_batch,
+                            num_workers=cfg.num_workers)
     steps_per_epoch = len(loader) // cfg.update_freq
     print(f"train: {len(train_ds)} imgs, {steps_per_epoch} steps/epoch")
 

@@ -86,9 +86,21 @@ def main(cfg: PretrainConfig):
     )
     # per-host batch covers all local devices (global batch = batch * world)
     local_batch = cfg.batch_size * (n_devices // world)
-    sampler = ShardedSampler(len(dataset), rank=rank, world=world, seed=cfg.seed)
-    loader = DataLoader(dataset, sampler, batch_size=local_batch,
-                        num_workers=cfg.num_workers)
+    if cfg.batch_wise_shuffle:
+        # every batch drawn from ONE source LMDB (the sampler the reference
+        # ships but never wires; dist_multisrc_batch_sampler.py:14-154)
+        from dig_tpu.data.samplers import MultiSourceBatchSampler
+
+        sampler = MultiSourceBatchSampler(
+            getattr(dataset, "cumulative_sizes", [len(dataset)]),
+            batch_size=local_batch, rank=rank, world=world, seed=cfg.seed)
+        loader = DataLoader(dataset, sampler, batch_size=None,
+                            num_workers=cfg.num_workers)
+    else:
+        sampler = ShardedSampler(len(dataset), rank=rank, world=world,
+                                 seed=cfg.seed)
+        loader = DataLoader(dataset, sampler, batch_size=local_batch,
+                            num_workers=cfg.num_workers)
     steps_per_epoch = len(loader)
     total_steps = steps_per_epoch * cfg.epochs
     print(f"dataset: {len(dataset)} imgs, {steps_per_epoch} steps/epoch")

@@ -65,6 +65,10 @@ class PretrainConfig:
     max_len: int = 25
     aloneimage_num_samples: float = float("inf")
     num_workers: int = 10
+    # per-batch source homogeneity for multi-LMDB training (the reference
+    # imports DistributedMultiSrcBatchWiseSampler but never instantiates it,
+    # run_mae_pretraining_moco.py:31 vs :350-352 — wired here as an opt-in)
+    batch_wise_shuffle: bool = False
     # run
     output_dir: str = "./output"
     log_dir: Optional[str] = None
@@ -139,6 +143,10 @@ class FinetuneConfig:
     finetune: str = ""
     model_key: str = "model|module"
     model_prefix: str = ""
+    # erf-GELU (torch-exact) vs tanh-GELU (TPU-fast).  None = auto: erf
+    # whenever --finetune/--resume loads a reference .pth (weights trained
+    # under erf must be evaluated under erf), tanh otherwise.
+    exact_gelu: Optional[bool] = None
     resume: str = ""
     auto_resume: bool = True
     start_epoch: int = 0
@@ -151,6 +159,8 @@ class FinetuneConfig:
     num_view: int = 2
     use_abi_aug: bool = True
     num_workers: int = 10
+    # per-batch source homogeneity for multi-LMDB training (see PretrainConfig)
+    batch_wise_shuffle: bool = False
     # run
     output_dir: str = "./output"
     log_dir: Optional[str] = None
@@ -189,6 +199,10 @@ def _add_field_args(parser: argparse.ArgumentParser, cfg) -> None:
             group.add_argument(
                 "--no_" + f.name, dest=f.name, action="store_false", default=default
             )
+        elif "bool" in str(f.type):  # tri-state Optional[bool] (None = auto)
+            parser.add_argument(
+                name, default=default,
+                type=lambda s: s.lower() in ("1", "true", "yes", "on"))
         elif isinstance(default, (list, tuple)) or "List" in str(f.type) or "Tuple" in str(f.type):
             parser.add_argument(name, nargs="*", default=default)
         elif isinstance(default, float) or default is None:

@@ -503,20 +503,11 @@ class TFDecoder(nn.Module):
         )
         return self._beam_backtrack(st_scores, st_preds, st_syms, b, k, eos)
 
-    def beam_search_dense(self, enc_output, beam_width: int, eos: int = 94):
-        """Beam search via full-prefix recompute (same shape rationale as
-        `greedy_decode_dense`; semantics identical to `beam_search`)."""
-        b, n, c = enc_output.shape
-        k = beam_width
-        enc = jnp.repeat(enc_output, k, axis=0)
+    def _dense_beam_loop(self, run, b: int, k: int, eos: int):
+        """Shared full-prefix beam driver: reference select semantics
+        (kill-on-EOS, no token reorder) + stored-predecessor backtracking.
+        `run(tgt)` maps embedded queries [b*k, T, C] -> decoder outputs."""
         t_max = self.max_seq_len
-        causal = make_causal_mask(t_max)[:, None]
-        if self.text_cond_vis:
-            run = lambda tgt: self._run_layers(tgt, enc, causal, True)
-        else:
-            cross_kvs = self.prepare_cross(enc)
-            run = lambda tgt: self._run_layers_cached_cross(tgt, cross_kvs, causal)
-
         scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, -jnp.inf)
         tokens = jnp.zeros((b * k, t_max + 1), jnp.int32).at[:, 0].set(self.start_idx)
 
@@ -538,6 +529,20 @@ class TFDecoder(nn.Module):
             body, (tokens, scores), jnp.arange(t_max)
         )
         return self._beam_backtrack(st_scores, st_preds, st_syms, b, k, eos)
+
+    def beam_search_dense(self, enc_output, beam_width: int, eos: int = 94):
+        """Beam search via full-prefix recompute (same shape rationale as
+        `greedy_decode_dense`; semantics identical to `beam_search`)."""
+        b, n, c = enc_output.shape
+        k = beam_width
+        enc = jnp.repeat(enc_output, k, axis=0)
+        causal = make_causal_mask(self.max_seq_len)[:, None]
+        if self.text_cond_vis:
+            run = lambda tgt: self._run_layers(tgt, enc, causal, True)
+        else:
+            cross_kvs = self.prepare_cross(enc)
+            run = lambda tgt: self._run_layers_cached_cross(tgt, cross_kvs, causal)
+        return self._dense_beam_loop(run, b, k, eos)
 
 
 class TextConditionalMHA(nn.Module):
@@ -760,52 +765,22 @@ class DecoupledTFDecoder(TFDecoder):
 
     def decoupled_beam_search(self, enc_output, cls_query_attn_maps,
                               beam_width: int, eos: int = 94):
-        """Beam search through the decoupled graph (reference beam_search,
-        models/decoder.py:254-370, which also routes through the decoupled
-        `_attention`).  Same scoring semantics as `TFDecoder.beam_search`
-        (length-unnormalized, EOS freezes a beam).  Returns ids [B, T]."""
+        """Beam search through the decoupled graph.  The reference's
+        `beam_search` (models/decoder.py:254-370) routes through the
+        decoupled `_attention` (:415-436) with the SAME kill-on-EOS +
+        stored-predecessor backtracking semantics as the vanilla decoder,
+        so this shares `_dense_beam_loop` with `TFDecoder` — only the
+        per-step graph (token self-attn + hoisted vision branch) differs.
+        Pinned against a numpy port of the reference algorithm in
+        tests/test_decoupled_textcond.py.  Returns ids [B, T]."""
         b, n, c = enc_output.shape
         k = beam_width
         enc = jnp.repeat(enc_output, k, axis=0)
         maps = jnp.repeat(cls_query_attn_maps, k, axis=0)
-        t_max = self.max_seq_len
-        causal = make_causal_mask(t_max)[:, None]
-        vision_outs = self._vision_branch(enc, maps, t_max)
-
-        neg_inf = jnp.float32(-1e30)
-        scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, neg_inf)
-        finished = jnp.zeros((b * k,), bool)
-        tokens = jnp.zeros((b * k, t_max + 1), jnp.int32).at[:, 0].set(self.start_idx)
-
-        def body(carry, t):
-            tokens, scores, finished = carry
-            tgt = self._embed(tokens[:, :-1], True)
-            out = self._decoupled_run(tgt, vision_outs, causal)
-            logits = self.classifier(
-                jax.lax.dynamic_slice_in_dim(out, t, 1, axis=1)[:, 0]
-            )
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            cont = jnp.where(
-                finished[:, None],
-                jnp.where(jnp.arange(self.num_classes)[None, :] == eos, 0.0, neg_inf),
-                logp,
-            )
-            cand = (scores[:, None] + cont).reshape(b, k * self.num_classes)
-            top_scores, top_idx = jax.lax.top_k(cand, k)
-            beam_idx = top_idx // self.num_classes
-            sym = (top_idx % self.num_classes).astype(jnp.int32)
-            flat = (beam_idx + jnp.arange(b)[:, None] * k).reshape(-1)
-            tokens = jax.lax.dynamic_update_slice(
-                tokens[flat], sym.reshape(-1, 1), (0, t + 1)
-            )
-            finished = finished[flat] | (sym.reshape(-1) == eos)
-            return (tokens, top_scores.reshape(-1), finished), None
-
-        (tokens, scores, finished), _ = jax.lax.scan(
-            body, (tokens, scores, finished), jnp.arange(t_max)
-        )
-        best = jnp.argmax(scores.reshape(b, k), axis=-1)
-        return tokens[:, 1:].reshape(b, k, t_max)[jnp.arange(b), best]
+        causal = make_causal_mask(self.max_seq_len)[:, None]
+        vision_outs = self._vision_branch(enc, maps, self.max_seq_len)
+        run = lambda tgt: self._decoupled_run(tgt, vision_outs, causal)
+        return self._dense_beam_loop(run, b, k, eos)
 
 
 def create_decoder(decoder_name: str, num_classes: int, max_len: int,

@@ -8,8 +8,17 @@ with tanh-GELU (which runs at HBM speed, i.e. free next to the matmuls).
 Max |erf - tanh| deviation is ~1e-3 in activation value — training- and
 accuracy-neutral (the BERT/GPT-2 lineage trained with the tanh form).
 
-Default: tanh.  Set ``DIG_TPU_EXACT_GELU=1`` (or flip ``EXACT`` before
-tracing) for bit-parity with torch ``F.gelu`` — the torch-parity tests do.
+Default: tanh.  For bit-parity with torch ``F.gelu`` (required when
+*evaluating* weights trained under erf-GELU, i.e. every converted
+reference ``.pth``), set ``DIG_TPU_EXACT_GELU=1`` or call
+``set_exact(True)``.  The finetune CLI flips this automatically when
+``--finetune``/``--resume`` points at a ``.pth`` (config ``exact_gelu``
+overrides).
+
+Trace-time caveat: ``EXACT`` is read when a function is TRACED, not when
+it runs — flipping it after ``jax.jit`` has compiled a function has no
+effect on that function.  Set it before building/jitting any model code
+(``set_exact`` warns if called late).
 """
 
 from __future__ import annotations
@@ -19,7 +28,20 @@ import os
 import jax
 
 EXACT = bool(os.environ.get("DIG_TPU_EXACT_GELU"))
+_TRACED = False
 
 
 def gelu(x):
+    global _TRACED
+    _TRACED = True
     return jax.nn.gelu(x, approximate=not EXACT)
+
+
+def set_exact(value: bool) -> None:
+    """Switch between erf (torch-exact) and tanh (TPU-fast) GELU.  Must be
+    called before any model function is traced/jitted."""
+    global EXACT
+    if _TRACED and value != EXACT:
+        print("WARNING: set_exact() after model code was already traced; "
+              "functions jitted earlier keep the previous GELU form")
+    EXACT = value

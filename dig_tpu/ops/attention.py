@@ -36,6 +36,15 @@ except Exception:  # pragma: no cover
 # test hook: run kernels in the Pallas interpreter (works on CPU)
 INTERPRET = False
 
+# bf16 softmax tile: exponentials computed in bf16 (2x VPU lanes) and the
+# softmax denominator folded into the AV matmul as an extra ones-column
+# (free: the 64/65-wide operand pads to 128 MXU lanes either way).  The
+# numerics delta vs the fp32 tile is one bf16 rounding of the exponent
+# *input* instead of the *output* — the weights already entered the AV
+# matmul as bf16 (see `e.astype(v.dtype)` in the fp32 path).  Verified
+# <=2e-2 abs delta on bf16 outputs (tests/test_pallas_kernels.py).
+BF16_EXP = os.environ.get("DIG_TPU_ATTN_BF16_EXP", "0") == "1"
+
 
 def _ref_attention(q, k, v, mask, scale):
     """[B, Lq, H, D] x [B, Lk, H, D] reference attention, fp32 softmax."""
@@ -71,14 +80,29 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim,
                 q * jnp.asarray(scale * _LOG2E, q_ref.dtype), k,
                 (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            e = jnp.exp2(logits - jnp.max(logits, axis=-1, keepdims=True))
-            o = jax.lax.dot_general(
-                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            o_ref[r, :, sl] = (
-                o / jnp.sum(e, axis=-1, keepdims=True)
-            ).astype(o_ref.dtype)
+            centered = logits - jnp.max(logits, axis=-1, keepdims=True)
+            if BF16_EXP and v.dtype == jnp.bfloat16:
+                # bf16 exponentials; denominator rides the AV matmul as a
+                # ones-column (lane padding makes it free) with fp32 accum
+                e = jnp.exp2(centered.astype(jnp.bfloat16))
+                v_ext = jnp.concatenate(
+                    [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+                o_ext = jax.lax.dot_general(
+                    e, v_ext, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[r, :, sl] = (
+                    o_ext[:, :head_dim] / o_ext[:, head_dim:]
+                ).astype(o_ref.dtype)
+            else:
+                e = jnp.exp2(centered)
+                o = jax.lax.dot_general(
+                    e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[r, :, sl] = (
+                    o / jnp.sum(e, axis=-1, keepdims=True)
+                ).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,

@@ -168,16 +168,20 @@ def make_pretrain_step(
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=0)
+        fn = jax.jit(train_step, donate_argnums=0)
+        fn.raw = train_step  # un-jitted step for composition (bench scan timing)
+        return fn
 
     repl = NamedSharding(mesh, P())
     data = batch_sharding(mesh)
     batch_shardings = {"images": data, "aug_images": data, "mask": data}
-    return jax.jit(
+    fn = jax.jit(
         train_step,
         in_shardings=(None, batch_shardings, repl),
         donate_argnums=0,
     )
+    fn.raw = train_step
+    return fn
 
 
 def make_device_view_fn(num_patches: int, mask_ratio: float = 0.7,

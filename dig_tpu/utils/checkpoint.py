@@ -54,27 +54,53 @@ def fast_device_get(tree):
     return jax.tree_util.tree_unflatten(treedef, host)
 
 
+def _is_remote(path: str) -> bool:
+    """Remote checkpoint URI (``gs://…``, ``s3://…``, ``memory://…`` in
+    tests).  The reference's equivalent is the moxing S3 shim
+    (utils/utils.py:367-372); here remote IO routes through fsspec."""
+    return "://" in path
+
+
+def _fs_open(path: str, mode: str):
+    if _is_remote(path):
+        import fsspec
+
+        return fsspec.open(path, mode).open()
+    return open(path, mode)
+
+
+def _join(base: str, *parts: str) -> str:
+    if _is_remote(base):
+        return "/".join([base.rstrip("/"), *parts])
+    return os.path.join(base, *parts)
+
+
 def _save_tree_npz(path: str, tree):
     """One-file checkpoint: leaves in a single .npz + pickled treedef."""
     import pickle
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, "tmp_arrays.npz")  # np.savez appends .npz itself
-    np.savez(tmp, **arrays)
-    os.replace(tmp, os.path.join(path, "arrays.npz"))
-    with open(os.path.join(path, "treedef.pkl"), "wb") as f:
+    if _is_remote(path):
+        with _fs_open(_join(path, "arrays.npz"), "wb") as f:
+            np.savez(f, **arrays)
+    else:
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, "tmp_arrays.npz")  # np.savez appends .npz itself
+        np.savez(tmp, **arrays)
+        os.replace(tmp, os.path.join(path, "arrays.npz"))
+    with _fs_open(_join(path, "treedef.pkl"), "wb") as f:
         pickle.dump(treedef, f)
 
 
 def _load_tree_npz(path: str):
     import pickle
 
-    with open(os.path.join(path, "treedef.pkl"), "rb") as f:
+    with _fs_open(_join(path, "treedef.pkl"), "rb") as f:
         treedef = pickle.load(f)
-    with np.load(os.path.join(path, "arrays.npz"), allow_pickle=True) as z:
-        leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    with _fs_open(_join(path, "arrays.npz"), "rb") as fh:
+        with np.load(fh, allow_pickle=True) as z:
+            leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
     leaves = [x[()] if x.shape == () and x.dtype == object else x for x in leaves]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -84,10 +110,14 @@ def save_checkpoint(output_dir: str, tag, state, extra: Optional[dict] = None):
 
     Uses the framework's fast native format (single batched device fetch,
     single .npz) — measured ~100x faster than per-array checkpointing
-    through a remote TPU tunnel."""
+    through a remote TPU tunnel.  `output_dir` may be a remote URI
+    (``gs://bucket/run`` on pods); files then go through fsspec."""
     import json
 
-    path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{tag}"))
+    if _is_remote(output_dir):
+        path = _join(output_dir, f"checkpoint-{tag}")
+    else:
+        path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{tag}"))
     payload = {
         "params": fast_device_get(state.params),
         "opt_state": fast_device_get(state.opt_state),
@@ -98,15 +128,24 @@ def save_checkpoint(output_dir: str, tag, state, extra: Optional[dict] = None):
     meta = {"step": int(state.step)}
     if extra:
         meta["extra"] = extra
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with _fs_open(_join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     return path
 
 
 def restore_checkpoint(path: str):
-    """Load a checkpoint dir (native format, or orbax for older dirs)."""
+    """Load a checkpoint dir (native format, or orbax for older dirs).
+    `path` may be a remote URI (fsspec)."""
     import json
 
+    if _is_remote(path):
+        payload = _load_tree_npz(path)
+        with _fs_open(_join(path, "meta.json"), "r") as f:
+            meta = json.load(f)
+        payload["step"] = meta["step"]
+        if "extra" in meta:
+            payload["extra"] = meta["extra"]
+        return payload
     path = os.path.abspath(path)
     if os.path.exists(os.path.join(path, "arrays.npz")):
         payload = _load_tree_npz(path)
@@ -124,15 +163,26 @@ def restore_checkpoint(path: str):
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
     """Highest-numbered ``checkpoint-N`` dir (reference regex scan,
-    utils/utils.py:592-601)."""
-    if not os.path.isdir(output_dir):
+    utils/utils.py:592-601).  Remote URIs are listed through fsspec."""
+    if _is_remote(output_dir):
+        import fsspec
+
+        fs, root = fsspec.core.url_to_fs(output_dir)
+        try:
+            names = [p.rstrip("/").rsplit("/", 1)[-1]
+                     for p in fs.ls(root, detail=False)]
+        except FileNotFoundError:
+            return None
+    elif os.path.isdir(output_dir):
+        names = os.listdir(output_dir)
+    else:
         return None
     best, best_n = None, -1
-    for name in os.listdir(output_dir):
+    for name in names:
         m = re.fullmatch(r"checkpoint-(\d+)", name)
         if m and int(m.group(1)) > best_n:
             best, best_n = name, int(m.group(1))
-    return os.path.join(output_dir, best) if best else None
+    return _join(output_dir, best) if best else None
 
 
 def auto_resume(output_dir: str, state):
@@ -254,6 +304,115 @@ def convert_torch_encoder(state_dict: dict, prefix: str = "encoder.") -> dict:
     return out
 
 
+def _convert_torch_mha(keys: dict) -> dict:
+    """Torch `MultiHeadAttention` / `TextConditionalMultiHeadAttention`
+    tensors (models/transformer_layer.py:204-281, :284-383) -> the Flax
+    `DecoderMHA` / `TextConditionalMHA` tree.  `keys` maps the suffix
+    after ``self_attn.`` / ``enc_attn.`` to numpy arrays."""
+    out: dict = {}
+    for k, v in keys.items():
+        v = np.asarray(v)
+        mod, _, leaf = k.rpartition(".")
+        if mod in ("linear_q", "linear_k", "linear_v", "fc",
+                   "gamma_decode", "vis_proj"):
+            _set(out, [mod, "kernel" if leaf == "weight" else "bias"],
+                 v.T if leaf == "weight" else v)
+        elif mod in ("vis_norm", "vis_cond_norm"):
+            _set(out, [mod, "scale" if leaf == "weight" else "bias"], v)
+    return out
+
+
+def convert_torch_decoder(state_dict: dict, prefix: str = "decoder.") -> dict:
+    """Map the reference text decoder's torch tensors onto the dig_tpu
+    Flax tree (TFDecoder / DecoupledTFDecoder; reference layout:
+    models/decoder.py:107-370 + models/transformer_layer.py:47-201).
+
+    Handles: char embedding, per-layer norms + self/enc attention + FFN,
+    final layer norm, classifier; the decoupled extras (`order_enc`,
+    per-layer `mlp_order2cls_attn` -> `order2cls_{i}` and `new_linear_v`
+    -> `new_linear_v_{i}`); text-conditional cross-attention extras.  The
+    `position_enc.position_table` sinusoid buffer is skipped (recomputed
+    here)."""
+    out: dict = {}
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)} if prefix else dict(state_dict)
+    mha: dict = {}
+    for k, v in sd.items():
+        v = np.asarray(v)
+        if k == "trg_word_emb.weight":
+            _set(out, ["trg_word_emb", "embedding"], v)
+        elif k == "order_enc.weight":
+            _set(out, ["order_enc", "embedding"], v)
+        elif k == "layer_norm.weight":
+            _set(out, ["layer_norm", "scale"], v)
+        elif k == "layer_norm.bias":
+            _set(out, ["layer_norm", "bias"], v)
+        elif k == "classifier.weight":
+            _set(out, ["classifier", "kernel"], v.T)
+        elif k == "classifier.bias":
+            _set(out, ["classifier", "bias"], v)
+        elif m := re.fullmatch(r"layer_stack\.(\d+)\.(.+)", k):
+            i, rest = m.group(1), m.group(2)
+            blk = f"layers_{i}"
+            if m2 := re.fullmatch(r"(self_attn|enc_attn)\.(.+)", rest):
+                mha.setdefault((blk, m2.group(1)), {})[m2.group(2)] = v
+            elif m2 := re.fullmatch(r"(norm[123])\.(weight|bias)", rest):
+                _set(out, [blk, m2.group(1),
+                           "scale" if m2.group(2) == "weight" else "bias"], v)
+            elif m2 := re.fullmatch(r"mlp\.(w_[12])\.(weight|bias)", rest):
+                _set(out, [blk, "mlp", m2.group(1),
+                           "kernel" if m2.group(2) == "weight" else "bias"],
+                     v.T if m2.group(2) == "weight" else v)
+            # decoupled-layer extras live at the DECODER level here
+            # (reference: models/transformer_layer.py:157-165)
+            elif m2 := re.fullmatch(r"mlp_order2cls_attn\.([03])\.(weight|bias)",
+                                    rest):
+                dense = "Dense_0" if m2.group(1) == "0" else "Dense_1"
+                _set(out, [f"order2cls_{i}", dense,
+                           "kernel" if m2.group(2) == "weight" else "bias"],
+                     v.T if m2.group(2) == "weight" else v)
+            elif m2 := re.fullmatch(r"new_linear_v\.(weight|bias)", rest):
+                _set(out, [f"new_linear_v_{i}",
+                           "kernel" if m2.group(1) == "weight" else "bias"],
+                     v.T if m2.group(1) == "weight" else v)
+    for (blk, attn), keys in mha.items():
+        _set(out, [blk, attn], _convert_torch_mha(keys))
+    return out
+
+
+def convert_torch_recognizer(state_dict: dict) -> dict:
+    """Full-recognizer conversion: a reference *finetuned* checkpoint
+    carries `encoder.*`, `linear_norm.*` (Sequential Linear+LayerNorm,
+    models/model_builder.py:85-88) and `decoder.*` — the reference's
+    surgery loads the whole dict (run_class_finetuning.py:362-441).
+    Returns a tree with ``encoder`` / ``linear_norm`` / ``decoder``
+    top-level keys ready to graft onto RecModel params."""
+    out: dict = {"encoder": convert_torch_encoder(state_dict, prefix="encoder.")}
+    ln = {}
+    for k, v in state_dict.items():
+        v = np.asarray(v)
+        if k == "linear_norm.0.weight":
+            _set(ln, ["dense", "kernel"], v.T)
+        elif k == "linear_norm.0.bias":
+            _set(ln, ["dense", "bias"], v)
+        elif k == "linear_norm.1.weight":
+            _set(ln, ["norm", "scale"], v)
+        elif k == "linear_norm.1.bias":
+            _set(ln, ["norm", "bias"], v)
+    if ln:
+        out["linear_norm"] = ln
+    dec = convert_torch_decoder(state_dict, prefix="decoder.")
+    if dec:
+        out["decoder"] = dec
+    return out
+
+
+def has_decoder_keys(state_dict: dict) -> bool:
+    """True when a torch state dict carries full-recognizer tensors (not
+    just an SSL encoder)."""
+    return any(k.startswith("decoder.") for k in state_dict)
+
+
 def interpolate_pos_embed(pos, new_grid, old_grid=None,
                           num_extra_tokens: int = 0):
     """Bicubic re-interpolation of a learnable positional embedding on
@@ -288,6 +447,35 @@ def interpolate_pos_embed(pos, new_grid, old_grid=None,
     return np.concatenate([extra, out], axis=1) if num_extra_tokens else out
 
 
+def _fit_pos_embed(src, dst, grid):
+    """Re-interpolate a source pos_embed onto the destination's grid.
+
+    Extra (non-grid) token counts are derived PER SIDE: the destination's
+    from its own shape, the source's by checking which split of its tokens
+    yields an inferable grid (same-extra first, then zero-extra).  When the
+    source has no extra tokens but the destination does, the destination's
+    own extra rows are kept and only the grid rows are replaced — the
+    round-2 code sliced the source with the destination's count, silently
+    corrupting the embedding in that case."""
+    n_grid = grid[0] * grid[1]
+    extra_dst = np.shape(dst)[1] - n_grid
+    for extra_src in dict.fromkeys((max(extra_dst, 0), 0)):
+        if np.shape(src)[1] - extra_src <= 0:
+            continue
+        try:
+            fitted = interpolate_pos_embed(src, grid,
+                                           num_extra_tokens=extra_src)
+        except AssertionError:
+            continue
+        if extra_src < extra_dst:
+            # keep the destination's own extra-token rows (e.g. seq-cls
+            # query tokens absent from a plain-encoder source)
+            fitted = np.concatenate(
+                [np.asarray(dst)[:, : extra_dst - extra_src], fitted], axis=1)
+        return fitted
+    return None
+
+
 def merge_pretrained_encoder(params: dict, encoder_tree: dict,
                              dest: str = "encoder",
                              pos_embed_grid=None) -> dict:
@@ -296,6 +484,16 @@ def merge_pretrained_encoder(params: dict, encoder_tree: dict,
     ``pos_embed`` is bicubically re-interpolated onto `pos_embed_grid`
     (the target (gh, gw)) like the reference (:403-424); other
     shape-mismatched leaves are skipped with a note."""
+    return merge_pretrained_tree(params, {dest: encoder_tree},
+                                 pos_embed_grid=pos_embed_grid)
+
+
+def merge_pretrained_tree(params: dict, tree: dict,
+                          pos_embed_grid=None) -> dict:
+    """Graft a converted param tree (any subset of the model's top-level
+    modules — e.g. `convert_torch_recognizer` output with encoder +
+    linear_norm + decoder) onto `params` at the root.  Same surgery rules
+    as `merge_pretrained_encoder`."""
     import copy
 
     params = copy.deepcopy(jax.device_get(params))
@@ -313,15 +511,16 @@ def merge_pretrained_encoder(params: dict, encoder_tree: dict,
                 elif (k == "pos_embed" and pos_embed_grid is not None
                         and k in dst and np.ndim(v) == 3
                         and np.shape(v)[-1] == np.shape(dst[k])[-1]):
-                    extra = np.shape(dst[k])[1] - (
-                        pos_embed_grid[0] * pos_embed_grid[1])
-                    dst[k] = np.asarray(
-                        interpolate_pos_embed(v, pos_embed_grid,
-                                              num_extra_tokens=max(extra, 0)),
-                        dtype=np.asarray(dst[k]).dtype)
+                    fitted = _fit_pos_embed(v, dst[k], pos_embed_grid)
+                    if fitted is None:
+                        print(f"skip {path}/{k}: cannot infer source grid "
+                              f"from shape {np.shape(v)}")
+                    else:
+                        dst[k] = np.asarray(
+                            fitted, dtype=np.asarray(dst[k]).dtype)
                 else:
                     print(f"skip {path}/{k}: shape {np.shape(v)} vs "
                           f"{np.shape(dst.get(k))}")
 
-    graft(params[dest], encoder_tree, dest)
+    graft(params, tree)
     return params

@@ -53,19 +53,23 @@ def _logsoftmax(x):
     return x - np.log(np.exp(x).sum(-1, keepdims=True))
 
 
-def reference_beam(dec, variables, enc, k, eos=EOS):
+def generic_reference_beam(step_logits, start_idx, b, t_max, num_classes, k,
+                           eos):
     """Line-for-line numpy port of the reference beam search
-    (models/decoder.py:254-370)."""
-    enc_rows = jnp.repeat(enc, k, axis=0)
+    (models/decoder.py:254-370), generic over the per-step logits function
+    (`step_logits(seq, step) -> [rows, num_classes]`) so the decoupled
+    decoder graph can be pinned with the same algorithm
+    (tests/test_decoupled_textcond.py)."""
+    B, T, C = b, t_max, num_classes
     rows = B * k
     seq = np.zeros((rows, T + 1), np.int64)
-    seq[:, 0] = dec.start_idx
+    seq[:, 0] = start_idx
     pos_index = (np.arange(B) * k).reshape(-1, 1)
     scores = np.full((rows, 1), -np.inf)
     scores[::k] = 0.0
     st_scores, st_pred, st_sym = [], [], []
     for step in range(T):
-        logp = _logsoftmax(_step_logits(dec, variables, enc_rows, seq, step))
+        logp = _logsoftmax(step_logits(seq, step))
         sc = (scores + logp).reshape(B, -1)
         cand = np.argsort(-sc, axis=1, kind="stable")[:, :k]  # topk, stable ties
         top = np.take_along_axis(sc, cand, 1)
@@ -102,18 +106,30 @@ def reference_beam(dec, variables, enc, k, eos=EOS):
     return np.concatenate(p, -1)[:, 0, :]
 
 
+def reference_beam(dec, variables, enc, k, eos=EOS):
+    """Numpy reference beam over the vanilla TFDecoder graph."""
+    enc_rows = jnp.repeat(enc, k, axis=0)
+    return generic_reference_beam(
+        lambda seq, step: _step_logits(dec, variables, enc_rows, seq, step),
+        dec.start_idx, B, T, C, k, eos)
+
+
+def assert_beam_rows_match(ref, got, eos=EOS):
+    """Compare up to and including each row's first EOS: positions after a
+    completed hypothesis's EOS are backtracking residue in both
+    implementations and are never read by the metrics."""
+    for row_ref, row_got in zip(ref, got):
+        hits = np.where(row_ref == eos)[0]
+        stop = hits[0] + 1 if len(hits) else len(row_ref)
+        assert np.array_equal(row_ref[:stop], row_got[:stop]), (ref, got)
+
+
 @pytest.mark.parametrize("k", [1, 2, 3])
 def test_beam_ids_match_reference(setup, k):
     dec, variables, enc = setup
     ref = reference_beam(dec, variables, enc, k)
     got = np.asarray(dec.apply(variables, enc, k, EOS, method=dec.beam_search))
-    # compare up to and including each row's first EOS: positions after a
-    # completed hypothesis's EOS are backtracking residue in both
-    # implementations and are never read by the metrics
-    for row_ref, row_got in zip(ref, got):
-        hits = np.where(row_ref == EOS)[0]
-        stop = hits[0] + 1 if len(hits) else len(row_ref)
-        assert np.array_equal(row_ref[:stop], row_got[:stop]), (ref, got)
+    assert_beam_rows_match(ref, got)
 
 
 @pytest.mark.parametrize("k", [2, 3])
@@ -123,10 +139,7 @@ def test_beam_dense_matches_reference(setup, k):
     got = np.asarray(
         dec.apply(variables, enc, k, EOS, method=dec.beam_search_dense)
     )
-    for row_ref, row_got in zip(ref, got):
-        hits = np.where(row_ref == EOS)[0]
-        stop = hits[0] + 1 if len(hits) else len(row_ref)
-        assert np.array_equal(row_ref[:stop], row_got[:stop]), (ref, got)
+    assert_beam_rows_match(ref, got)
 
 
 def test_eos_kill_case_is_exercised(setup):

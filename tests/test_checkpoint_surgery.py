@@ -106,3 +106,92 @@ def test_merge_skips_truly_incompatible_leaves(capsys):
     merged = merge_pretrained_encoder(params, src, pos_embed_grid=(8, 32))
     assert np.allclose(merged["encoder"]["pos_embed"], 0)
     assert "skip" in capsys.readouterr().out
+
+
+def test_merge_keeps_dst_extra_tokens_when_src_has_none():
+    """Grafting a plain-encoder pos_embed into a model whose pos_embed
+    carries extra (e.g. seq-cls query) tokens: the destination's extra
+    rows survive and only the grid rows are replaced.  The round-2 code
+    sliced the source with the destination's extra count, corrupting the
+    embedding."""
+    n_extra, dim = 2, 16
+    rng = np.random.default_rng(4)
+    dst_pos = rng.normal(size=(1, n_extra + 8 * 32, dim)).astype(np.float32)
+    params = {"encoder": {"pos_embed": dst_pos.copy()}}
+    src_pos = rng.normal(size=(1, 4 * 16, dim)).astype(np.float32)  # no extras
+    merged = merge_pretrained_encoder(
+        params, {"pos_embed": src_pos}, pos_embed_grid=(8, 32))
+    out = merged["encoder"]["pos_embed"]
+    assert out.shape == dst_pos.shape
+    np.testing.assert_array_equal(out[:, :n_extra], dst_pos[:, :n_extra])
+    expect = interpolate_pos_embed(src_pos, (8, 32))
+    np.testing.assert_allclose(out[:, n_extra:], expect.astype(out.dtype),
+                               rtol=1e-5)
+
+
+def test_merge_same_extra_token_count_passes_through():
+    """Source and destination both carry the same extra-token rows: the
+    extras are copied from the source and the grid interpolated."""
+    n_extra, dim = 3, 16
+    rng = np.random.default_rng(5)
+    dst_pos = np.zeros((1, n_extra + 8 * 32, dim), np.float32)
+    src_pos = rng.normal(size=(1, n_extra + 4 * 16, dim)).astype(np.float32)
+    merged = merge_pretrained_encoder(
+        {"encoder": {"pos_embed": dst_pos}}, {"pos_embed": src_pos},
+        pos_embed_grid=(8, 32))
+    out = merged["encoder"]["pos_embed"]
+    np.testing.assert_array_equal(out[:, :n_extra], src_pos[:, :n_extra])
+    expect = interpolate_pos_embed(src_pos, (8, 32), num_extra_tokens=n_extra)
+    np.testing.assert_allclose(out, expect.astype(out.dtype), rtol=1e-5)
+
+
+def test_load_finetune_init_routes_full_recognizer_pth(tmp_path):
+    """--finetune with a finetuned reference .pth (decoder.* keys present)
+    grafts decoder + linear_norm too, not just the encoder — a published
+    DiG_finetuned checkpoint must not evaluate a random decoder
+    (reference surgery: run_class_finetuning.py:362-441)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from dig_tpu.cli.run_finetune import build_model, load_finetune_init
+    from dig_tpu.config import FinetuneConfig
+    from dig_tpu.optim import make_optimizer
+    from dig_tpu.train.finetune import init_finetune_state
+
+    cfg = FinetuneConfig(model="vit_micro_patch4_32x128", drop=0.0,
+                         attn_drop_rate=0.0, drop_path=0.0)
+    model = build_model(cfg)
+    tx = make_optimizer(np.array([0.0], np.float32))
+    state = init_finetune_state(model, tx, jax.random.PRNGKey(0),
+                                max_len=cfg.max_len)
+    p0 = jax.device_get(state.params)
+    rng = np.random.default_rng(6)
+    dm = p0["decoder"]["trg_word_emb"]["embedding"].shape[-1]
+    enc_dim = p0["linear_norm"]["dense"]["kernel"].shape[0]
+    sd = {
+        "decoder.trg_word_emb.weight":
+            rng.normal(size=(cfg.nb_classes + 1, dm)).astype(np.float32),
+        "decoder.classifier.weight":
+            rng.normal(size=(cfg.nb_classes, dm)).astype(np.float32),
+        "decoder.classifier.bias": rng.normal(size=(cfg.nb_classes,)).astype(np.float32),
+        "linear_norm.0.weight": rng.normal(size=(dm, enc_dim)).astype(np.float32),
+        "linear_norm.0.bias": rng.normal(size=(dm,)).astype(np.float32),
+    }
+    path = tmp_path / "full_rec.pth"
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}},
+               str(path))
+    cfg.finetune = str(path)
+    new_state = load_finetune_init(cfg, state, model)
+    p1 = new_state.params
+    np.testing.assert_allclose(
+        p1["decoder"]["trg_word_emb"]["embedding"],
+        sd["decoder.trg_word_emb.weight"], rtol=1e-6)
+    np.testing.assert_allclose(
+        p1["decoder"]["classifier"]["kernel"],
+        sd["decoder.classifier.weight"].T, rtol=1e-6)
+    np.testing.assert_allclose(
+        p1["linear_norm"]["dense"]["kernel"],
+        sd["linear_norm.0.weight"].T, rtol=1e-6)
+    # untouched leaves stay
+    np.testing.assert_array_equal(
+        p1["decoder"]["layer_norm"]["scale"],
+        p0["decoder"]["layer_norm"]["scale"])

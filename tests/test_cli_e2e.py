@@ -170,3 +170,29 @@ def test_ctc_cli_train_and_eval(fixture_lmdb, tmp_path):
         output_dir=out, eval_freq=0, dtype="float32",
     ))
     assert os.path.isdir(os.path.join(out, "checkpoint-0"))
+
+
+def test_finetune_cli_batch_wise_shuffle_two_sources(fixture_lmdb, tmp_path):
+    """--batch_wise_shuffle trains over two LMDB sources with per-batch
+    source homogeneity (the sampler the reference ships but never wires;
+    dist_multisrc_batch_sampler.py:14-154)."""
+    from dig_tpu.cli.run_finetune import main
+    from dig_tpu.config import FinetuneConfig
+
+    out = str(tmp_path / "ft_bw")
+    cfg = FinetuneConfig(
+        model="vit_micro_patch4_32x128",
+        decoder_name="small_tf_decoder",
+        data_path=[fixture_lmdb, fixture_lmdb],  # two sources
+        eval_data_path=fixture_lmdb,
+        batch_size=1,
+        epochs=1,
+        warmup_epochs=0,
+        num_workers=2,
+        output_dir=out,
+        eval_freq=0,
+        dtype="float32",
+        batch_wise_shuffle=True,
+    )
+    main(cfg)
+    assert os.path.isdir(os.path.join(out, "checkpoint-0"))

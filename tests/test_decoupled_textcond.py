@@ -85,6 +85,77 @@ def test_decoupled_beam_wider_shape(decoupled):
     assert ids.shape == (3, T)
 
 
+def _decoupled_step_logits(dec, variables, enc_rows, maps_rows, seq, step):
+    """Reference decoupled `_attention` + classifier[:, step]: full-sequence
+    pass with a (pad & causal) mask at tgt_lens = step+1 (the reference's
+    forward_test/beam_search loop, models/decoder.py:224-370, routed
+    through the decoupled graph :415-436)."""
+    from dig_tpu.models.layers import make_causal_mask, make_pad_mask
+
+    def run(mdl, tokens, enc_output, cls_maps, step):
+        tgt = mdl._embed(tokens, True)
+        t = tokens.shape[1]
+        lens = jnp.full((tokens.shape[0],), step + 1, jnp.int32)
+        mask = (make_pad_mask(lens, t) & make_causal_mask(t))[:, None]
+        vision_outs = mdl._vision_branch(enc_output, cls_maps, t)
+        x = mdl._decoupled_run(tgt, vision_outs, mask, True)
+        return mdl.classifier(x)[:, step]
+
+    return np.asarray(
+        dec.apply(variables, jnp.asarray(seq), enc_rows, maps_rows, step,
+                  method=run)
+    ).astype(np.float64)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("k", [2, 3])
+def test_decoupled_beam_ids_match_reference(decoupled, k):
+    """Pin decoupled_beam_search against the numpy port of the reference
+    algorithm (kill-on-EOS + stored-predecessor backtracking) routed
+    through the decoupled graph — the round-2 freeze-on-EOS semantics
+    diverged from the reference whenever a beam emitted EOS early."""
+    from test_beam_parity import assert_beam_rows_match, generic_reference_beam
+
+    dec, variables, enc, cls_maps = decoupled
+    enc_rows = jnp.repeat(enc, k, axis=0)
+    maps_rows = jnp.repeat(cls_maps, k, axis=0)
+    ref = generic_reference_beam(
+        lambda seq, step: _decoupled_step_logits(
+            dec, variables, enc_rows, maps_rows, seq, step),
+        dec.start_idx, enc.shape[0], T, C, k, EOS)
+    got = np.asarray(dec.apply(variables, enc, cls_maps, k, EOS,
+                               method=dec.decoupled_beam_search))
+    assert_beam_rows_match(ref, got, eos=EOS)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("k", [2, 3])
+def test_decoupled_beam_eos_kill_matches_reference(decoupled, k):
+    """Same parity check with the classifier biased toward EOS so beams
+    terminate early — covers the kill + backtracking-pool path for the
+    decoupled graph (asserted exercised)."""
+    from test_beam_parity import assert_beam_rows_match, generic_reference_beam
+    import flax
+
+    dec, variables, enc, cls_maps = decoupled
+    variables = flax.core.unfreeze(variables)
+    bias = np.asarray(variables["params"]["classifier"]["bias"]).copy()
+    bias[EOS] += 3.0
+    variables = {"params": {**variables["params"],
+                            "classifier": {**variables["params"]["classifier"],
+                                           "bias": jnp.asarray(bias)}}}
+    enc_rows = jnp.repeat(enc, k, axis=0)
+    maps_rows = jnp.repeat(cls_maps, k, axis=0)
+    ref = generic_reference_beam(
+        lambda seq, step: _decoupled_step_logits(
+            dec, variables, enc_rows, maps_rows, seq, step),
+        dec.start_idx, enc.shape[0], T, C, k, EOS)
+    assert (ref[:, :-1] == EOS).any(), "fixture must terminate beams early"
+    got = np.asarray(dec.apply(variables, enc, cls_maps, k, EOS,
+                               method=dec.decoupled_beam_search))
+    assert_beam_rows_match(ref, got, eos=EOS)
+
+
 @pytest.mark.slow
 def test_seq_cls_rec_model_recognize():
     model = build_rec_model(

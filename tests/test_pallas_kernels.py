@@ -71,3 +71,30 @@ def test_layernorm_kernel_grads_interpreted():
     for a, c in zip(gk, gr):
         rel = np.abs(np.asarray(a) - np.asarray(c)).max() / (np.abs(np.asarray(c)).max() + 1e-9)
         assert rel < 1e-4, rel
+
+
+def test_attention_kernel_bf16_exp_interpreted():
+    """bf16-exponential + fused-denominator variant stays within bf16
+    rounding of the fp32-tile kernel (the AV weights were already bf16 in
+    the fp32 path, so the delta is one rounding of the exponent input)."""
+    B, L, H, D = 2, 128, 2, 64
+    q = jnp.asarray(jax.random.normal(jax.random.PRNGKey(0), (B, L, H, D)),
+                    jnp.bfloat16)
+    k = jnp.asarray(jax.random.normal(jax.random.PRNGKey(1), (B, L, H, D)),
+                    jnp.bfloat16)
+    v = jnp.asarray(jax.random.normal(jax.random.PRNGKey(2), (B, L, H, D)),
+                    jnp.bfloat16)
+    scale = D**-0.5
+    old = attn_mod.BF16_EXP
+    try:
+        attn_mod.BF16_EXP = False
+        out_f32tile = attn_mod._pallas_attention_fwd_impl(q, k, v, scale)
+        attn_mod.BF16_EXP = True
+        out_bf16 = attn_mod._pallas_attention_fwd_impl(q, k, v, scale)
+    finally:
+        attn_mod.BF16_EXP = old
+    ref = attn_mod._ref_attention(q, k, v, None, scale)
+    d_variant = np.abs(out_bf16.astype(np.float32) - out_f32tile.astype(np.float32)).max()
+    d_ref = np.abs(out_bf16.astype(np.float32) - np.asarray(ref, np.float32)).max()
+    assert d_variant <= 2e-2, d_variant
+    assert d_ref <= 2e-2, d_ref

@@ -116,3 +116,66 @@ def test_fast_device_get_mixed_dtypes():
     assert np.array_equal(host["b"], np.arange(5, dtype=np.int32))
     assert float(np.asarray(host["c"]["d"], np.float32).sum()) == 12.0
     assert host["s"] == 7
+
+
+def test_exact_gelu_tristate_flag():
+    from dig_tpu.config import FinetuneConfig, parse_config
+
+    assert parse_config(FinetuneConfig, []).exact_gelu is None
+    assert parse_config(FinetuneConfig, ["--exact_gelu", "true"]).exact_gelu is True
+    assert parse_config(FinetuneConfig, ["--exact_gelu", "false"]).exact_gelu is False
+
+
+def test_set_exact_gelu_switch():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dig_tpu.ops import activations
+
+    old = activations.EXACT
+    try:
+        x = jnp.asarray(np.linspace(-3, 3, 64, dtype=np.float32))
+        activations.set_exact(True)
+        exact = np.asarray(activations.gelu(x))
+        activations.set_exact(False)
+        approx = np.asarray(activations.gelu(x))
+        # the two forms differ but only at the ~1e-3 level
+        d = np.abs(exact - approx).max()
+        assert 0 < d < 5e-3
+    finally:
+        activations.EXACT = old
+
+
+def test_remote_checkpoint_roundtrip_memory_fs():
+    """gs://-style checkpoint save/restore/auto-resume routes through
+    fsspec (validated on the in-memory filesystem; on a pod the same path
+    carries gs:// — SURVEY.md §2.9 moxing/S3 -> GCS)."""
+    import numpy as np
+    import pytest
+
+    fsspec = pytest.importorskip("fsspec")
+    import jax.numpy as jnp
+
+    from dig_tpu.train.state import TrainState
+    from dig_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    import optax
+
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    tx = optax.sgd(0.1)
+    state = TrainState.create(params, tx)
+    base = "memory://ckpt_test/run1"
+    path = save_checkpoint(base, 3, state, extra={"epoch": 3})
+    assert path == base + "/checkpoint-3"
+    assert latest_checkpoint(base) == path
+
+    payload = restore_checkpoint(path)
+    np.testing.assert_array_equal(payload["params"]["w"],
+                                  np.arange(6, dtype=np.float32).reshape(2, 3))
+    assert payload["step"] == 0 and payload["extra"] == {"epoch": 3}
+    # missing remote dir -> None, like the local scan
+    assert latest_checkpoint("memory://ckpt_test/does_not_exist") is None

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Micro-benchmark of the fused attention kernel variants on the local
+accelerator.  Times fwd and fwd+bwd of the ViT-S pretrain geometry
+(B=256 rows x 6 heads x 256 tokens x 64 head-dim, bf16) for:
+
+  * xla    — the jnp reference path (DIG_TPU_NO_PALLAS semantics)
+  * pallas — the fp32-score-tile Pallas kernel
+  * bf16   — the bf16-exponential + fused-denominator variant
+
+Memoization-safe over the axon relay (see tests and MEMORY): a drifting
+scalar is chained through every call inside one jitted program, and a
+host scalar fetch is the completion barrier.
+
+Usage: python tools/bench_attention.py [batch_rows]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/dig_tpu_xla"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(b=256, l=256, h=6, d=64, iters=12):
+    from dig_tpu.ops import attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.bfloat16)
+    scale = d ** -0.5
+
+    def make_fns(impl):
+        def core(q, k, v):
+            if impl == "xla":
+                return attention._ref_attention(q, k, v, None, scale)
+            return attention._pallas_attention(q, k, v, scale)
+
+        @jax.jit
+        def fwd(q, k, v, s):
+            o = core(q + s.astype(q.dtype) * 0, k, v)
+            return s + 1e-6 + o.ravel()[0].astype(jnp.float32) * 1e-20
+
+        @jax.jit
+        def fwdbwd(q, k, v, s):
+            def loss(q, k, v):
+                o = core(q, k, v)
+                return (o.astype(jnp.float32) ** 2).mean()
+
+            g = jax.grad(loss, argnums=(0, 1, 2))(
+                q + s.astype(q.dtype) * 0, k, v)
+            return s + 1e-6 + g[0].ravel()[0].astype(jnp.float32) * 1e-20
+
+        return fwd, fwdbwd
+
+    def timeit(fn):
+        s = jnp.float32(0.0)
+        s = fn(q, k, v, s)
+        float(s)
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            s = fn(q, k, v, s)
+            float(s)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2] * 1e3
+
+    results = {}
+    for impl, flip in (("xla", None), ("pallas", False), ("bf16", True)):
+        if flip is not None:
+            attention.BF16_EXP = flip
+        fwd, fwdbwd = make_fns(impl)
+        results[impl] = (timeit(fwd), timeit(fwdbwd))
+        print(f"{impl:7s} fwd {results[impl][0]:7.2f} ms   "
+              f"fwd+bwd {results[impl][1]:7.2f} ms", flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    run(b)

@@ -126,6 +126,13 @@ def main():
     ap.add_argument("--max_word_len", type=int, default=10)
     ap.add_argument("--easy", action="store_true",
                     help="no cursive fonts / noise backgrounds")
+    ap.add_argument("--test_pool", choices=["disjoint", "shared"],
+                    default="disjoint",
+                    help="'disjoint': test words never seen in training "
+                         "(measures pure char recognition); 'shared': test "
+                         "words drawn from the training vocabulary on fresh "
+                         "renders — the regime of the real STR benchmarks, "
+                         "whose lexicons overlap the training corpora")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -134,7 +141,10 @@ def main():
                           max_len=args.max_word_len)
     perm = rng.permutation(len(pool))
     train_words = [pool[i] for i in perm[: args.train_words]]
-    test_words = [pool[i] for i in perm[args.train_words:]]
+    if args.test_pool == "shared":
+        test_words = train_words
+    else:
+        test_words = [pool[i] for i in perm[args.train_words:]]
 
     os.makedirs(args.out_dir, exist_ok=True)
     write_split(os.path.join(args.out_dir, "train"), rng, train_words,
