@@ -146,6 +146,15 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
             ).astype(dk_ref.dtype)
 
 
+def _compiler_params():
+    """Grid-iteration semantics A/B knob: 'parallel' tells Mosaic the
+    row programs are independent (they are), which can enable cross-
+    iteration scheduling overlap."""
+    if pltpu is None or os.environ.get("DIG_TPU_ATTN_PARALLEL", "0") != "1":
+        return None
+    return pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
 def _pick_rows(b, lq, lk, c, itemsize):
     """Rows per program.  Measured on v5e: single-row blocks pipeline best
     for the ViT geometry (multi-row blocks reduce DMA/compute overlap),
@@ -179,6 +188,7 @@ def _pallas_attention_fwd_impl(q, k, v, scale):
         in_specs=[spec_q, spec_k, spec_k],
         out_specs=spec_q,
         out_shape=jax.ShapeDtypeStruct((b, lq, c), q.dtype),
+        compiler_params=_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lq * lk * d,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
@@ -219,6 +229,7 @@ def _pallas_attention_bwd(scale, res, g):
             jax.ShapeDtypeStruct((b, lk, c), k.dtype),
             jax.ShapeDtypeStruct((b, lk, c), v.dtype),
         ),
+        compiler_params=_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=8 * b * h * lq * lk * d,
             bytes_accessed=4 * b * lq * c * q.dtype.itemsize,
