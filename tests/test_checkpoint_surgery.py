@@ -195,3 +195,64 @@ def test_load_finetune_init_routes_full_recognizer_pth(tmp_path):
     np.testing.assert_array_equal(
         p1["decoder"]["layer_norm"]["scale"],
         p0["decoder"]["layer_norm"]["scale"])
+
+
+def test_convert_torch_decoder_decoupled_and_textcond_keys():
+    """The decoupled extras live per-layer in torch
+    (layer_stack.i.mlp_order2cls_attn.{0,3} / new_linear_v,
+    transformer_layer.py:157-165) but decoder-level here
+    (order2cls_{i} / new_linear_v_{i}); text-conditional cross-attention
+    adds gamma_decode/vis_proj/vis_norm/vis_cond_norm
+    (transformer_layer.py:319-324)."""
+    from dig_tpu.utils.checkpoint import convert_torch_decoder
+
+    rng = np.random.default_rng(7)
+    d, di, nc = 16, 8, 5
+    sd = {
+        "decoder.order_enc.weight": rng.normal(size=(9, d)).astype(np.float32),
+        "decoder.layer_stack.0.mlp_order2cls_attn.0.weight":
+            rng.normal(size=(di, d)).astype(np.float32),
+        "decoder.layer_stack.0.mlp_order2cls_attn.0.bias":
+            rng.normal(size=(di,)).astype(np.float32),
+        "decoder.layer_stack.0.mlp_order2cls_attn.3.weight":
+            rng.normal(size=(nc, di)).astype(np.float32),
+        "decoder.layer_stack.0.mlp_order2cls_attn.3.bias":
+            rng.normal(size=(nc,)).astype(np.float32),
+        "decoder.layer_stack.0.new_linear_v.weight":
+            rng.normal(size=(d, d)).astype(np.float32),
+        "decoder.layer_stack.0.enc_attn.gamma_decode.weight":
+            rng.normal(size=(2 * d, d)).astype(np.float32),
+        "decoder.layer_stack.0.enc_attn.gamma_decode.bias":
+            rng.normal(size=(2 * d,)).astype(np.float32),
+        "decoder.layer_stack.0.enc_attn.vis_proj.weight":
+            rng.normal(size=(d, d)).astype(np.float32),
+        "decoder.layer_stack.0.enc_attn.vis_norm.weight":
+            np.ones((d,), np.float32),
+        "decoder.layer_stack.0.enc_attn.vis_norm.bias":
+            np.zeros((d,), np.float32),
+        "decoder.layer_stack.0.enc_attn.vis_cond_norm.weight":
+            np.ones((d,), np.float32),
+        "decoder.position_enc.position_table":
+            np.zeros((1, 50, d), np.float32),  # buffer: must be skipped
+    }
+    tree = convert_torch_decoder(sd)
+    np.testing.assert_array_equal(tree["order_enc"]["embedding"],
+                                  sd["decoder.order_enc.weight"])
+    np.testing.assert_array_equal(
+        tree["order2cls_0"]["Dense_0"]["kernel"],
+        sd["decoder.layer_stack.0.mlp_order2cls_attn.0.weight"].T)
+    np.testing.assert_array_equal(
+        tree["order2cls_0"]["Dense_1"]["bias"],
+        sd["decoder.layer_stack.0.mlp_order2cls_attn.3.bias"])
+    np.testing.assert_array_equal(
+        tree["new_linear_v_0"]["kernel"],
+        sd["decoder.layer_stack.0.new_linear_v.weight"].T)
+    ea = tree["layers_0"]["enc_attn"]
+    np.testing.assert_array_equal(
+        ea["gamma_decode"]["kernel"],
+        sd["decoder.layer_stack.0.enc_attn.gamma_decode.weight"].T)
+    np.testing.assert_array_equal(
+        ea["vis_norm"]["scale"],
+        sd["decoder.layer_stack.0.enc_attn.vis_norm.weight"])
+    assert "vis_cond_norm" in ea and "scale" in ea["vis_cond_norm"]
+    assert "position_enc" not in tree and "position_table" not in tree
