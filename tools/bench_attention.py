@@ -11,6 +11,12 @@ Memoization-safe over the axon relay (see tests and MEMORY): a drifting
 scalar is chained through every call inside one jitted program, and a
 host scalar fetch is the completion barrier.
 
+CAVEAT (measured round 3): even with the fori_loop amortization this
+standalone harness reads ~2.4 ms for a kernel the profiler attributes
+0.66 ms in-model — isolated-kernel numbers over the relay are upper
+bounds only.  Decide variants with an in-model `bench.py` A/B plus a
+`jax.profiler` trace (see ROOFLINE.md), not with this tool alone.
+
 Usage: python tools/bench_attention.py [batch_rows]
 """
 
