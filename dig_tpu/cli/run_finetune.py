@@ -164,12 +164,11 @@ def main(cfg: FinetuneConfig):
     # trained under torch's erf-GELU, so evaluate them under erf.
     from dig_tpu.ops import activations
 
-    exact = cfg.exact_gelu
-    if exact is None:
-        exact = any(p.endswith((".pth", ".pt")) for p in (cfg.finetune, cfg.resume))
-        if exact:
-            print("torch checkpoint requested: using exact (erf) GELU "
-                  "(override with --exact_gelu false)")
+    exact = activations.resolve_exact_gelu(
+        cfg.exact_gelu, (cfg.finetune, cfg.resume))
+    if exact and cfg.exact_gelu is None:
+        print("torch checkpoint requested: using exact (erf) GELU "
+              "(override with --exact_gelu false)")
     if exact != activations.EXACT:
         activations.set_exact(exact)
 

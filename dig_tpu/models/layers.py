@@ -82,10 +82,22 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from dig_tpu.ops.fused_dense import FusedBiasGradDense, fused_bias_grad_enabled
+
         out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init)(x)
+        if fused_bias_grad_enabled():
+            # fc1's bias grad is a 65k-row column reduce that XLA runs on
+            # the VPU at ~160 GB/s; the Pallas-backward dense streams it
+            # at DMA speed (ops/fused_dense.py; param tree unchanged)
+            x = FusedBiasGradDense(self.hidden_dim, dtype=self.dtype,
+                                   kernel_init=trunc_normal_init,
+                                   name="Dense_0")(x)
+        else:
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         kernel_init=trunc_normal_init, name="Dense_0")(x)
         x = gelu(x)
-        x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init)(x)
+        x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                     name="Dense_1")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 

@@ -45,3 +45,13 @@ def set_exact(value: bool) -> None:
         print("WARNING: set_exact() after model code was already traced; "
               "functions jitted earlier keep the previous GELU form")
     EXACT = value
+
+
+def resolve_exact_gelu(explicit, checkpoint_paths) -> bool:
+    """The finetune CLI's GELU-form decision: an explicit ``--exact_gelu``
+    wins; otherwise erf is auto-enabled when any checkpoint path is a
+    torch ``.pth``/``.pt`` (weights trained under erf-GELU must be
+    evaluated under erf-GELU)."""
+    if explicit is not None:
+        return bool(explicit)
+    return any(p.endswith((".pth", ".pt")) for p in checkpoint_paths if p)

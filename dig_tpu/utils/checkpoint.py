@@ -380,6 +380,49 @@ def convert_torch_decoder(state_dict: dict, prefix: str = "decoder.") -> dict:
     return out
 
 
+def convert_torch_attn_head(state_dict: dict, prefix: str = "decoder.") -> dict:
+    """Map the reference GRU additive-attention head onto the Flax
+    `AttentionRecognitionHead` tree (reference: models/attn_decoder.py —
+    `AttentionRecognitionHead.decoder` = `DecoderUnit` holding
+    `attention_unit.{sEmbed,xEmbed,wEmbed}`, `tgt_embedding`, a 1-layer
+    `nn.GRU`, and `fc`).
+
+    GRU math is identical between torch and flax up to bias placement:
+    torch keeps separate input/hidden biases per gate while flax merges
+    them for r/z (`ir.bias = b_ir + b_hr`) and keeps both for n (where the
+    reset gate multiplies the hidden bias)."""
+    out: dict = {}
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith(prefix)} if prefix else \
+         {k: np.asarray(v) for k, v in state_dict.items()}
+    lin = {"decoder.attention_unit.sEmbed": "s_embed",
+           "decoder.attention_unit.xEmbed": "x_embed",
+           "decoder.attention_unit.wEmbed": "w_embed",
+           "decoder.fc": "fc"}
+    for src, dst in lin.items():
+        if src + ".weight" in sd:
+            _set(out, [dst, "kernel"], sd[src + ".weight"].T)
+            _set(out, [dst, "bias"], sd[src + ".bias"])
+    if "decoder.tgt_embedding.weight" in sd:
+        _set(out, ["tgt_embedding", "embedding"], sd["decoder.tgt_embedding.weight"])
+    if "decoder.gru.weight_ih_l0" in sd:
+        w_ih = sd["decoder.gru.weight_ih_l0"]  # [3H, in] gates (r, z, n)
+        w_hh = sd["decoder.gru.weight_hh_l0"]
+        b_ih = sd["decoder.gru.bias_ih_l0"]
+        b_hh = sd["decoder.gru.bias_hh_l0"]
+        h = w_hh.shape[1]
+        for i, gate in enumerate(("r", "z", "n")):
+            sl = slice(i * h, (i + 1) * h)
+            _set(out, ["gru", "i" + gate, "kernel"], w_ih[sl].T)
+            _set(out, ["gru", "h" + gate, "kernel"], w_hh[sl].T)
+            if gate == "n":
+                _set(out, ["gru", "in", "bias"], b_ih[sl])
+                _set(out, ["gru", "hn", "bias"], b_hh[sl])
+            else:
+                _set(out, ["gru", "i" + gate, "bias"], b_ih[sl] + b_hh[sl])
+    return out
+
+
 def convert_torch_recognizer(state_dict: dict) -> dict:
     """Full-recognizer conversion: a reference *finetuned* checkpoint
     carries `encoder.*`, `linear_norm.*` (Sequential Linear+LayerNorm,
@@ -401,7 +444,10 @@ def convert_torch_recognizer(state_dict: dict) -> dict:
             _set(ln, ["norm", "bias"], v)
     if ln:
         out["linear_norm"] = ln
-    dec = convert_torch_decoder(state_dict, prefix="decoder.")
+    if any(k.startswith("decoder.decoder.gru.") for k in state_dict):
+        dec = convert_torch_attn_head(state_dict, prefix="decoder.")
+    else:
+        dec = convert_torch_decoder(state_dict, prefix="decoder.")
     if dec:
         out["decoder"] = dec
     return out

@@ -98,3 +98,53 @@ def test_attention_kernel_bf16_exp_interpreted():
     d_ref = np.abs(out_bf16.astype(np.float32) - np.asarray(ref, np.float32)).max()
     assert d_variant <= 2e-2, d_variant
     assert d_ref <= 2e-2, d_ref
+
+
+def test_colsum_kernel_interpreted():
+    import dig_tpu.ops.fused_dense as fd
+
+    old = fd.INTERPRET
+    fd.INTERPRET = True
+    try:
+        rng = np.random.default_rng(3)
+        # odd row count exercises the boundary-block masking
+        for n in (1100, 2048):
+            x = jnp.asarray(rng.normal(size=(n, 384)).astype(np.float32))
+            got = fd.column_sum(x)
+            ref = jnp.sum(x, axis=0)
+            assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+    finally:
+        fd.INTERPRET = old
+
+
+def test_fused_bias_grad_dense_matches_nn_dense(monkeypatch):
+    """FusedBiasGradDense: same param tree and same value/grads as
+    nn.Dense (the Pallas backward only changes HOW db is computed)."""
+    import flax.linen as nn
+
+    import dig_tpu.ops.fused_dense as fd
+    from dig_tpu.models.layers import Mlp
+
+    monkeypatch.setenv("DIG_TPU_FUSED_BIAS_GRAD", "1")
+    fd.INTERPRET = True
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 32))
+        fused = Mlp(hidden_dim=64)
+        v1 = fused.init(jax.random.PRNGKey(1), x)
+
+        monkeypatch.setenv("DIG_TPU_FUSED_BIAS_GRAD", "0")
+        plain = Mlp(hidden_dim=64)
+        v2 = plain.init(jax.random.PRNGKey(1), x)
+        assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+
+        monkeypatch.setenv("DIG_TPU_FUSED_BIAS_GRAD", "1")
+        y1, g1 = jax.value_and_grad(
+            lambda p, x: jnp.sum(fused.apply(p, x) ** 2))(v1, x)
+        monkeypatch.setenv("DIG_TPU_FUSED_BIAS_GRAD", "0")
+        y2, g2 = jax.value_and_grad(
+            lambda p, x: jnp.sum(plain.apply(p, x) ** 2))(v1, x)
+        assert np.allclose(float(y1), float(y2), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    finally:
+        fd.INTERPRET = False

@@ -126,6 +126,22 @@ def test_exact_gelu_tristate_flag():
     assert parse_config(FinetuneConfig, ["--exact_gelu", "false"]).exact_gelu is False
 
 
+def test_resolve_exact_gelu_auto_on_for_torch_checkpoints():
+    """The converted-eval path must run erf-GELU without env vars: an
+    unset flag auto-enables exact GELU whenever --finetune/--resume is a
+    torch .pth/.pt (run_finetune.py wires this through resolve_exact_gelu
+    before any model code is traced)."""
+    from dig_tpu.ops.activations import resolve_exact_gelu
+
+    assert resolve_exact_gelu(None, ("DiG_finetuned.pth", "")) is True
+    assert resolve_exact_gelu(None, ("", "ckpt.pt")) is True
+    assert resolve_exact_gelu(None, ("out/checkpoint-9", "")) is False
+    assert resolve_exact_gelu(None, ("", "")) is False
+    # explicit flag always wins, in both directions
+    assert resolve_exact_gelu(False, ("DiG_finetuned.pth", "")) is False
+    assert resolve_exact_gelu(True, ("", "")) is True
+
+
 def test_set_exact_gelu_switch():
     import jax.numpy as jnp
     import numpy as np
