@@ -9,9 +9,13 @@ partial per grid step reads the same bytes at DMA speed instead.  The
 matmul gradients are untouched (XLA already runs them at ~88 % of MXU
 peak).
 
-Env gate: ``DIG_TPU_FUSED_BIAS_GRAD=0`` disables (default on for TPU
-backends; the jnp fallback keeps CPU/tests exact).  A/B measured on v5e —
-see ROOFLINE.md "What was tried".
+Env gate: ``DIG_TPU_FUSED_BIAS_GRAD=1`` enables; **default OFF** — the
+in-model A/B on v5e measured 912.8 vs 940.9 imgs/s (−3 %): the
+``custom_vjp`` boundary stops XLA from fusing the bias reduce into the
+surrounding backward fusion (bwd+opt 71.8 → 77.7 ms), which costs more
+than the faster standalone reduce saves.  Kept as a documented
+experiment (ROOFLINE.md "What was tried"); the kernel itself is correct
+and interpreter-tested.
 """
 
 from __future__ import annotations
