@@ -17,6 +17,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dig_tpu.models.decoder import beam_backtrack, beam_select
+
 
 class AttentionRecognitionHead(nn.Module):
     num_classes: int
@@ -92,43 +94,36 @@ class AttentionRecognitionHead(nn.Module):
         return probs, ids
 
     def beam_search(self, x, beam_width: int, eos: int):
-        """Jittable beam search over the GRU head (reference:
-        models/attn_decoder.py:84-200): beams fold into the batch, the GRU
-        state is re-gathered by predecessor each step, EOS freezes a
-        beam's score.  Returns ids [B, T]."""
+        """Jittable beam search over the GRU head with the reference's
+        TopKDecoder semantics (models/attn_decoder.py:84-200): beams fold
+        into the batch, the GRU state is re-gathered by predecessor each
+        step, a beam that emits EOS is KILLED (score -> -inf) and its
+        completed hypothesis is recovered by the shared stored-predecessor
+        backtracking — identical selection/backtrack code to
+        `TFDecoder.beam_search` (decoder.beam_select / beam_backtrack).
+        Pinned against a numpy port of the reference algorithm in
+        tests/test_torch_gru_parity.py.  Returns ids [B, T]."""
         b = x.shape[0]
         k = beam_width
         xk = jnp.repeat(x, k, axis=0)
         x_proj = self.x_embed(xk)
         state = jnp.zeros((b * k, self.s_dim), x.dtype)
-        neg_inf = jnp.float32(-1e30)
-        scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, neg_inf)
-        finished = jnp.zeros((b * k,), bool)
+        scores = jnp.where(jnp.arange(b * k) % k == 0, 0.0, -jnp.inf)
         tokens = jnp.full((b * k,), self.num_classes, jnp.int32)
-        seqs = jnp.zeros((b * k, self.max_len_labels), jnp.int32)
 
         def body(carry, t):
-            state, tokens, scores, finished, seqs = carry
+            state, tokens, scores = carry
             state, logits = self._step(xk, x_proj, state, tokens)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            cont = jnp.where(
-                finished[:, None],
-                jnp.where(jnp.arange(self.num_classes)[None, :] == eos, 0.0, neg_inf),
-                logp,
-            )
-            cand = (scores[:, None] + cont).reshape(b, k * self.num_classes)
-            top_scores, top_idx = jax.lax.top_k(cand, k)
-            beam_idx = top_idx // self.num_classes
-            sym = (top_idx % self.num_classes).astype(jnp.int32)
-            flat = (beam_idx + jnp.arange(b)[:, None] * k).reshape(-1)
-            state = state[flat]
-            seqs = seqs[flat].at[:, t].set(sym.reshape(-1))
-            finished = finished[flat] | (sym.reshape(-1) == eos)
-            return (state, sym.reshape(-1), top_scores.reshape(-1), finished, seqs), None
+            top_scores, pred, sym, scores = beam_select(
+                scores, logp, b, self.num_classes, eos)
+            # the reference reorders the GRU state by predecessor
+            # (state.index_select(1, predecessors), :129) — unlike the
+            # TFDecoder beam, conditioning follows the winning beam here
+            state = state[pred]
+            return (state, sym, scores), (top_scores, pred, sym)
 
-        (state, tokens, scores, finished, seqs), _ = jax.lax.scan(
-            body, (state, tokens, scores, finished, seqs),
-            jnp.arange(self.max_len_labels),
+        (_, _, _), (st_scores, st_preds, st_syms) = jax.lax.scan(
+            body, (state, tokens, scores), jnp.arange(self.max_len_labels)
         )
-        best = jnp.argmax(scores.reshape(b, k), axis=-1)
-        return seqs.reshape(b, k, self.max_len_labels)[jnp.arange(b), best]
+        return beam_backtrack(st_scores, st_preds, st_syms, b, k, eos)

@@ -192,6 +192,68 @@ class DecodeResult:
     ids: jnp.ndarray  # [B, T] predicted ids
 
 
+def beam_select(scores, logp, b, num_classes, eos):
+    """One reference beam step: expand, top-k, kill EOS rows
+    (models/decoder.py:288-307; the GRU head's TopKDecoder loop,
+    models/attn_decoder.py:116-140, is the same selection).
+    Returns (stored top_scores [b,k], flat predecessors [b*k],
+    symbols [b*k], new scores [b*k])."""
+    k = scores.shape[0] // b
+    cand = (scores[:, None] + logp).reshape(b, k * num_classes)
+    top_scores, top_idx = jax.lax.top_k(cand, k)
+    sym = (top_idx % num_classes).astype(jnp.int32).reshape(-1)
+    pred = (top_idx // num_classes
+            + jnp.arange(b)[:, None] * k).reshape(-1)
+    new_scores = jnp.where(sym == eos, -jnp.inf, top_scores.reshape(-1))
+    return top_scores, pred, sym, new_scores
+
+
+def beam_backtrack(st_scores, st_preds, st_syms, b: int, k: int, eos: int):
+    """Jitted port of the reference's backtracking
+    (models/decoder.py:313-370 == models/attn_decoder.py:143-200):
+    completed hypotheses (EOS emissions) replace the lowest-ranked final
+    beams in a per-sample ring, walking time backwards; returns the best
+    hypothesis ids [b, T].
+
+    st_scores [T, b, k] are the post-top-k, pre-kill scores;
+    st_preds / st_syms [T, b*k] flat predecessor indices and symbols."""
+    t_max = st_scores.shape[0]
+    pos = jnp.arange(b) * k
+    sorted_score, sorted_idx = jax.lax.top_k(st_scores[-1], k)  # [b, k]
+    t_pred = (sorted_idx + pos[:, None]).reshape(-1)
+    rows = jnp.arange(b)
+
+    def body(carry, xs):
+        t_pred, s, count = carry
+        scores_t, preds_t, syms_t, t = xs
+        cur = syms_t[t_pred]
+        new_pred = preds_t[t_pred]
+        # this step's EOS emissions, processed in decreasing beam order
+        # (the reference walks eos_indices back-to-front, :336-358)
+        for j in range(k - 1, -1, -1):
+            flat = pos + j
+            is_eos = syms_t[flat] == eos
+            res_k = k - 1 - (count % k)
+            res_flat = pos + res_k
+            new_pred = new_pred.at[res_flat].set(
+                jnp.where(is_eos, preds_t[flat], new_pred[res_flat]))
+            cur = cur.at[res_flat].set(
+                jnp.where(is_eos, eos, cur[res_flat]))
+            s = s.at[rows, res_k].set(
+                jnp.where(is_eos, scores_t[rows, j], s[rows, res_k]))
+            count = count + is_eos.astype(jnp.int32)
+        return (new_pred, s, count), cur
+
+    (_, s, _), syms_back = jax.lax.scan(
+        body,
+        (t_pred, sorted_score, jnp.zeros((b,), jnp.int32)),
+        (st_scores[::-1], st_preds[::-1], st_syms[::-1],
+         jnp.arange(t_max)[::-1]),
+    )
+    best_flat = pos + jnp.argmax(s, axis=1)  # ties -> lowest index, like topk
+    return syms_back[::-1][:, best_flat].T  # [b, T]
+
+
 class TFDecoder(nn.Module):
     """Transformer decoder with teacher-forced training and KV-cached
     greedy/beam inference."""
@@ -419,62 +481,11 @@ class TFDecoder(nn.Module):
     # row-aligned, so the cached variant needs no cache gathering at all.
 
     def _beam_select(self, scores, logp, b, eos):
-        """One reference beam step: expand, top-k, kill EOS rows.
-        Returns (stored top_scores [b,k], flat predecessors [b*k],
-        symbols [b*k], new scores [b*k])."""
-        k = scores.shape[0] // b
-        cand = (scores[:, None] + logp).reshape(b, k * self.num_classes)
-        top_scores, top_idx = jax.lax.top_k(cand, k)
-        sym = (top_idx % self.num_classes).astype(jnp.int32).reshape(-1)
-        pred = (top_idx // self.num_classes
-                + jnp.arange(b)[:, None] * k).reshape(-1)
-        new_scores = jnp.where(sym == eos, -jnp.inf, top_scores.reshape(-1))
-        return top_scores, pred, sym, new_scores
+        return beam_select(scores, logp, b, self.num_classes, eos)
 
     def _beam_backtrack(self, st_scores, st_preds, st_syms, b: int, k: int,
                         eos: int):
-        """Jitted port of the reference's backtracking
-        (models/decoder.py:313-370): completed hypotheses (EOS emissions)
-        replace the lowest-ranked final beams in a per-sample ring, walking
-        time backwards; returns the best hypothesis ids [b, T].
-
-        st_scores [T, b, k] are the post-top-k, pre-kill scores;
-        st_preds / st_syms [T, b*k] flat predecessor indices and symbols."""
-        t_max = st_scores.shape[0]
-        pos = jnp.arange(b) * k
-        sorted_score, sorted_idx = jax.lax.top_k(st_scores[-1], k)  # [b, k]
-        t_pred = (sorted_idx + pos[:, None]).reshape(-1)
-        rows = jnp.arange(b)
-
-        def body(carry, xs):
-            t_pred, s, count = carry
-            scores_t, preds_t, syms_t, t = xs
-            cur = syms_t[t_pred]
-            new_pred = preds_t[t_pred]
-            # this step's EOS emissions, processed in decreasing beam order
-            # (the reference walks eos_indices back-to-front, :336-358)
-            for j in range(k - 1, -1, -1):
-                flat = pos + j
-                is_eos = syms_t[flat] == eos
-                res_k = k - 1 - (count % k)
-                res_flat = pos + res_k
-                new_pred = new_pred.at[res_flat].set(
-                    jnp.where(is_eos, preds_t[flat], new_pred[res_flat]))
-                cur = cur.at[res_flat].set(
-                    jnp.where(is_eos, eos, cur[res_flat]))
-                s = s.at[rows, res_k].set(
-                    jnp.where(is_eos, scores_t[rows, j], s[rows, res_k]))
-                count = count + is_eos.astype(jnp.int32)
-            return (new_pred, s, count), cur
-
-        (_, s, _), syms_back = jax.lax.scan(
-            body,
-            (t_pred, sorted_score, jnp.zeros((b,), jnp.int32)),
-            (st_scores[::-1], st_preds[::-1], st_syms[::-1],
-             jnp.arange(t_max)[::-1]),
-        )
-        best_flat = pos + jnp.argmax(s, axis=1)  # ties -> lowest index, like topk
-        return syms_back[::-1][:, best_flat].T  # [b, T]
+        return beam_backtrack(st_scores, st_preds, st_syms, b, k, eos)
 
     def beam_search(self, enc_output, beam_width: int, eos: int = 94):
         """Jittable KV-cached beam search, reference-parity semantics (see

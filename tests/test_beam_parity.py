@@ -81,7 +81,17 @@ def generic_reference_beam(step_logits, start_idx, b, t_max, num_classes, k,
         st_pred.append(pred)
         st_sym.append(sym.copy())
         seq[:, step + 1] = sym  # note: NO predecessor reorder (reference :309)
-    # backtracking (reference :313-370)
+    return reference_backtrack(st_scores, st_pred, st_sym, B, k, eos)
+
+
+def reference_backtrack(st_scores, st_pred, st_sym, B, k, eos):
+    """Numpy port of the reference backtracking (models/decoder.py:313-370,
+    identical in the GRU head's TopKDecoder, models/attn_decoder.py:143-200):
+    completed hypotheses replace the lowest-ranked final beams in a
+    per-sample ring, walking time backwards."""
+    rows = B * k
+    pos_index = (np.arange(B) * k).reshape(-1, 1)
+    T = len(st_sym)
     p = []
     last = st_scores[-1].reshape(B, k)
     sorted_idx = np.argsort(-last, axis=1, kind="stable")

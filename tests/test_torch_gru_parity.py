@@ -155,3 +155,81 @@ def test_recognizer_routing_picks_gru_converter(converted):
     tree = convert_torch_recognizer(sd)
     assert "gru" in tree["decoder"] and "s_embed" in tree["decoder"]
     assert tree["decoder"]["gru"]["ir"]["kernel"].shape == (X_DIM + ATT_DIM, S_DIM)
+
+
+def reference_gru_beam(thead, x, k, eos):
+    """Numpy/torch port of the reference GRU beam search — the IBM
+    TopKDecoder loop (models/attn_decoder.py:84-200): per-sample
+    contiguous beam inflation, GRU state re-gathered by predecessor
+    (state.index_select(1, predecessors), :129), kill-on-EOS after
+    storing the post-top-k scores, and the shared backtracking ring
+    (reference_backtrack, identical to models/decoder.py:313-370)."""
+    from test_beam_parity import reference_backtrack
+
+    b = x.shape[0]
+    rows = b * k
+    C = NUM_CLASSES
+    xk = torch.from_numpy(np.repeat(x, k, axis=0))
+    pos_index = (np.arange(b) * k).reshape(-1, 1)
+    state = torch.zeros(1, rows, S_DIM)
+    scores = np.full((rows, 1), -np.inf)
+    scores[::k] = 0.0
+    y_prev = np.full((rows,), NUM_CLASSES, np.int64)
+    st_scores, st_pred, st_sym = [], [], []
+    with torch.no_grad():
+        for _ in range(T_MAX):
+            out, state = thead._step(xk, state, torch.from_numpy(y_prev))
+            logp = torch.log_softmax(out, dim=1).numpy().astype(np.float64)
+            sc = (scores + logp).reshape(b, -1)
+            cand = np.argsort(-sc, axis=1, kind="stable")[:, :k]
+            top = np.take_along_axis(sc, cand, 1)
+            sym = (cand % C).reshape(rows)
+            scores = top.reshape(rows, 1).copy()
+            pred = (cand // C + pos_index).reshape(rows, 1)
+            st_scores.append(scores.copy())
+            scores[sym.reshape(-1, 1) == eos] = -np.inf
+            st_pred.append(pred)
+            st_sym.append(sym.copy())
+            state = state[:, torch.from_numpy(pred.reshape(rows))]
+            y_prev = sym
+    return reference_backtrack(st_scores, st_pred, st_sym, b, k, eos)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_beam_ids_match_reference(converted, k):
+    """Flax GRU beam (kill-on-EOS + stored-predecessor backtracking) must
+    match the reference TopKDecoder algorithm exactly."""
+    from test_beam_parity import assert_beam_rows_match
+
+    thead, model, params, x, _ = converted
+    eos = 9
+    ref = reference_gru_beam(thead, x, k, eos)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x), k, eos,
+                                 method=model.beam_search))
+    assert_beam_rows_match(ref, got, eos=eos)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_gru_beam_eos_kill_parity(converted, k):
+    """Kill-on-EOS + backtracking replacement ring, exercised for real: an
+    EOS-biased copy of the head emits EOS mid-sequence, and the flax beam
+    must still match the reference algorithm exactly."""
+    from test_beam_parity import assert_beam_rows_match
+
+    thead, model, params, x, _ = converted
+    eos = 9
+    import copy
+
+    biased = copy.deepcopy(thead)
+    with torch.no_grad():
+        biased.fc.bias[eos] += 3.5
+    ref = reference_gru_beam(biased, x, k, eos)
+    assert (ref == eos).any(), "bias bump failed to produce EOS emissions"
+
+    from dig_tpu.utils.checkpoint import convert_torch_attn_head
+
+    bparams = copy.deepcopy(params)
+    _graft(bparams, convert_torch_attn_head(biased.reference_style_state_dict()))
+    got = np.asarray(model.apply({"params": bparams}, jnp.asarray(x), k, eos,
+                                 method=model.beam_search))
+    assert_beam_rows_match(ref, got, eos=eos)
