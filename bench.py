@@ -48,6 +48,13 @@ def device_peak_tflops():
     kind = jax.devices()[0].device_kind.lower()
     for sub, tf in PEAK_TFLOPS:
         if sub in kind:
+            if sub in ("v5", "v6"):
+                # bare-generation fallback: a v5e variant whose kind
+                # string lacks 'lite'/'e' would silently get the v5p
+                # peak and understate MFU ~2.3x — make it auditable
+                print(f"note: ambiguous device_kind {kind!r}; assuming "
+                      f"{tf} TF/s peak (override with BENCH_PEAK_TFLOPS)",
+                      file=sys.stderr)
             return tf
     return None
 

@@ -24,7 +24,7 @@ import numpy as np
 
 from dig_tpu.config import FinetuneConfig, config_to_json, parse_config
 from dig_tpu.data.dataset import build_dataset
-from dig_tpu.data.pipeline import DataLoader
+from dig_tpu.data.pipeline import DataLoader, make_train_loader
 from dig_tpu.data.samplers import ShardedSampler
 from dig_tpu.metrics.text import accuracy as word_accuracy
 from dig_tpu.metrics.text import recognition_f_measure
@@ -159,6 +159,12 @@ def main(cfg: FinetuneConfig):
         ScreenTee(cfg.output_dir).install()
     print(config_to_json(cfg))
 
+    if cfg.resume.endswith((".pth", ".pt")):
+        raise ValueError(
+            "--resume expects a native dig_tpu checkpoint directory; "
+            "to initialize from a torch .pth use --finetune "
+            f"(got --resume {cfg.resume})")
+
     # GELU form must be fixed BEFORE any model code is traced (see
     # dig_tpu/ops/activations.py).  Auto: converted .pth weights were
     # trained under torch's erf-GELU, so evaluate them under erf.
@@ -220,21 +226,10 @@ def main(cfg: FinetuneConfig):
         rng=rng,
     )
     local_batch = cfg.batch_size * (n_devices // world)
-    if cfg.batch_wise_shuffle:
-        # every batch drawn from ONE source LMDB (the sampler the reference
-        # ships but never wires; dist_multisrc_batch_sampler.py:14-154)
-        from dig_tpu.data.samplers import MultiSourceBatchSampler
-
-        sampler = MultiSourceBatchSampler(
-            getattr(train_ds, "cumulative_sizes", [len(train_ds)]),
-            batch_size=local_batch, rank=rank, world=world, seed=cfg.seed)
-        loader = DataLoader(train_ds, sampler, batch_size=None,
-                            num_workers=cfg.num_workers)
-    else:
-        sampler = ShardedSampler(len(train_ds), rank=rank, world=world,
-                                 seed=cfg.seed)
-        loader = DataLoader(train_ds, sampler, batch_size=local_batch,
-                            num_workers=cfg.num_workers)
+    loader = make_train_loader(
+        train_ds, local_batch=local_batch, rank=rank, world=world,
+        seed=cfg.seed, num_workers=cfg.num_workers,
+        batch_wise_shuffle=cfg.batch_wise_shuffle)
     steps_per_epoch = len(loader) // cfg.update_freq
     print(f"train: {len(train_ds)} imgs, {steps_per_epoch} steps/epoch")
 
@@ -294,7 +289,7 @@ def main(cfg: FinetuneConfig):
     max_accuracy = 0.0
 
     for epoch in range(start_epoch, cfg.epochs):
-        sampler.set_epoch(epoch)
+        loader.sampler.set_epoch(epoch)
         logger = MetricLogger()
         for it, (images, targets, lens) in enumerate(
             logger.log_every(loader, print_freq, f"Epoch: [{epoch}]",

@@ -28,7 +28,7 @@ import numpy as np
 
 from dig_tpu.config import PretrainConfig, config_to_json, parse_config
 from dig_tpu.data.dataset import build_pretraining_dataset
-from dig_tpu.data.pipeline import DataLoader
+from dig_tpu.data.pipeline import DataLoader, make_train_loader
 from dig_tpu.data.samplers import ShardedSampler
 from dig_tpu.models.registry import create_model
 from dig_tpu.optim import make_optimizer
@@ -86,21 +86,10 @@ def main(cfg: PretrainConfig):
     )
     # per-host batch covers all local devices (global batch = batch * world)
     local_batch = cfg.batch_size * (n_devices // world)
-    if cfg.batch_wise_shuffle:
-        # every batch drawn from ONE source LMDB (the sampler the reference
-        # ships but never wires; dist_multisrc_batch_sampler.py:14-154)
-        from dig_tpu.data.samplers import MultiSourceBatchSampler
-
-        sampler = MultiSourceBatchSampler(
-            getattr(dataset, "cumulative_sizes", [len(dataset)]),
-            batch_size=local_batch, rank=rank, world=world, seed=cfg.seed)
-        loader = DataLoader(dataset, sampler, batch_size=None,
-                            num_workers=cfg.num_workers)
-    else:
-        sampler = ShardedSampler(len(dataset), rank=rank, world=world,
-                                 seed=cfg.seed)
-        loader = DataLoader(dataset, sampler, batch_size=local_batch,
-                            num_workers=cfg.num_workers)
+    loader = make_train_loader(
+        dataset, local_batch=local_batch, rank=rank, world=world,
+        seed=cfg.seed, num_workers=cfg.num_workers,
+        batch_wise_shuffle=cfg.batch_wise_shuffle)
     steps_per_epoch = len(loader)
     total_steps = steps_per_epoch * cfg.epochs
     print(f"dataset: {len(dataset)} imgs, {steps_per_epoch} steps/epoch")
@@ -172,7 +161,7 @@ def main(cfg: PretrainConfig):
         return shard_batch(mesh, {"images": ori, "aug_images": aug, "mask": mask})
 
     for epoch in range(start_epoch, cfg.epochs):
-        sampler.set_epoch(epoch)
+        loader.sampler.set_epoch(epoch)
         logger = MetricLogger()
         header = f"Epoch: [{epoch}]"
         batches = device_prefetch(iter(loader), to_device)

@@ -68,6 +68,27 @@ def device_prefetch(iterator, to_device: Callable, depth: int = 2):
         yield queue_.popleft()
 
 
+def make_train_loader(dataset, *, local_batch: int, rank: int, world: int,
+                      seed: int, num_workers: int,
+                      batch_wise_shuffle: bool = False):
+    """The training sampler/loader wiring shared by both CLIs: either a
+    per-host `ShardedSampler` + fixed batch size, or — with
+    ``batch_wise_shuffle`` — the `MultiSourceBatchSampler` that draws every
+    batch from ONE source LMDB (the sampler the reference ships but never
+    wires; dist_multisrc_batch_sampler.py:14-154)."""
+    from dig_tpu.data.samplers import MultiSourceBatchSampler, ShardedSampler
+
+    if batch_wise_shuffle:
+        sampler = MultiSourceBatchSampler(
+            getattr(dataset, "cumulative_sizes", [len(dataset)]),
+            batch_size=local_batch, rank=rank, world=world, seed=seed)
+        return DataLoader(dataset, sampler, batch_size=None,
+                          num_workers=num_workers)
+    sampler = ShardedSampler(len(dataset), rank=rank, world=world, seed=seed)
+    return DataLoader(dataset, sampler, batch_size=local_batch,
+                      num_workers=num_workers)
+
+
 class DataLoader:
     """Minimal threaded loader: sampler -> fetch pool -> prefetch queue.
 

@@ -48,10 +48,13 @@ def set_exact(value: bool) -> None:
 
 
 def resolve_exact_gelu(explicit, checkpoint_paths) -> bool:
-    """The finetune CLI's GELU-form decision: an explicit ``--exact_gelu``
-    wins; otherwise erf is auto-enabled when any checkpoint path is a
-    torch ``.pth``/``.pt`` (weights trained under erf-GELU must be
-    evaluated under erf-GELU)."""
+    """The finetune CLI's GELU-form decision, in priority order: an
+    explicit ``--exact_gelu`` wins; then the ``DIG_TPU_EXACT_GELU`` env
+    var (same nonempty-means-on semantics as module init); otherwise erf
+    is auto-enabled when any checkpoint path is a torch ``.pth``/``.pt``
+    (weights trained under erf-GELU must be evaluated under erf-GELU)."""
     if explicit is not None:
         return bool(explicit)
+    if os.environ.get("DIG_TPU_EXACT_GELU"):
+        return True
     return any(p.endswith((".pth", ".pt")) for p in checkpoint_paths if p)

@@ -454,9 +454,16 @@ def convert_torch_recognizer(state_dict: dict) -> dict:
 
 
 def has_decoder_keys(state_dict: dict) -> bool:
-    """True when a torch state dict carries full-recognizer tensors (not
-    just an SSL encoder)."""
-    return any(k.startswith("decoder.") for k in state_dict)
+    """True when a torch state dict carries full-RECOGNIZER decoder
+    tensors: the transformer decoder's layer stack / char embedding
+    (models/decoder.py:152-176) or the GRU head's DecoderUnit
+    (models/attn_decoder.py:203-279).  A bare `decoder.*` prefix is NOT
+    enough — SSL pretrain checkpoints carry a SimMIM *pixel* decoder
+    under the same name and must keep routing through the encoder-only
+    converter (with `--model_prefix` honored)."""
+    return any(k.startswith(("decoder.layer_stack.", "decoder.trg_word_emb.",
+                             "decoder.decoder."))
+               for k in state_dict)
 
 
 def interpolate_pos_embed(pos, new_grid, old_grid=None,
@@ -543,6 +550,7 @@ def merge_pretrained_tree(params: dict, tree: dict,
     import copy
 
     params = copy.deepcopy(jax.device_get(params))
+    grafted = [0]
 
     def graft(dst, src, path=""):
         for k, v in src.items():
@@ -554,6 +562,7 @@ def merge_pretrained_tree(params: dict, tree: dict,
             else:
                 if k in dst and np.shape(dst[k]) == np.shape(v):
                     dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+                    grafted[0] += 1
                 elif (k == "pos_embed" and pos_embed_grid is not None
                         and k in dst and np.ndim(v) == 3
                         and np.shape(v)[-1] == np.shape(dst[k])[-1]):
@@ -564,9 +573,24 @@ def merge_pretrained_tree(params: dict, tree: dict,
                     else:
                         dst[k] = np.asarray(
                             fitted, dtype=np.asarray(dst[k]).dtype)
+                        grafted[0] += 1
                 else:
                     print(f"skip {path}/{k}: shape {np.shape(v)} vs "
                           f"{np.shape(dst.get(k))}")
 
-    graft(params, tree)
+    for top, sub in tree.items():
+        n_leaves = len(jax.tree_util.tree_leaves(sub))
+        grafted[0] = 0
+        graft(params, {top: sub})
+        # a converted multi-tensor subtree that matched NOTHING means the
+        # checkpoint and the model are different architectures (e.g. a
+        # TFDecoder .pth into --model_kind attn) — evaluating random
+        # weights silently would look like a 0%-accuracy mystery, so fail
+        # fast (single-leaf subtrees keep the documented skip-with-a-note
+        # behavior for isolated shape mismatches)
+        if n_leaves > 1 and grafted[0] == 0:
+            raise ValueError(
+                f"checkpoint subtree '{top}' ({n_leaves} tensors) matched "
+                "nothing in the model — architecture mismatch between the "
+                "checkpoint and the configured model")
     return params

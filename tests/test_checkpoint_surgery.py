@@ -5,6 +5,7 @@ pos-embed re-interpolation on input-resolution mismatch."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dig_tpu.utils.checkpoint import (
     convert_torch_encoder,
@@ -256,3 +257,54 @@ def test_convert_torch_decoder_decoupled_and_textcond_keys():
         sd["decoder.layer_stack.0.enc_attn.vis_norm.weight"])
     assert "vis_cond_norm" in ea and "scale" in ea["vis_cond_norm"]
     assert "position_enc" not in tree and "position_table" not in tree
+
+
+def test_has_decoder_keys_ignores_ssl_pixel_decoder():
+    """An SSL pretrain checkpoint's SimMIM *pixel* decoder (saved under
+    `decoder.*` by the reference MoCo_ViT) must NOT trigger the
+    full-recognizer converter — it would hard-code prefix='encoder.' and
+    drop --model_prefix support."""
+    from dig_tpu.utils.checkpoint import has_decoder_keys
+
+    ssl_sd = {"encoder.blocks.0.attn.qkv.weight": 0,
+              "decoder.blocks.0.attn.qkv.weight": 0,
+              "decoder.head.weight": 0}
+    assert has_decoder_keys(ssl_sd) is False
+    assert has_decoder_keys({"decoder.layer_stack.0.norm1.weight": 0}) is True
+    assert has_decoder_keys({"decoder.trg_word_emb.weight": 0}) is True
+    assert has_decoder_keys({"decoder.decoder.gru.weight_ih_l0": 0}) is True
+
+
+def test_merge_fails_fast_on_wholly_mismatched_subtree():
+    """A converted multi-tensor subtree that grafts zero leaves is an
+    architecture mismatch (e.g. a TFDecoder .pth into a GRU-head model):
+    raise instead of silently evaluating random weights."""
+    from dig_tpu.utils.checkpoint import merge_pretrained_tree
+
+    params = {"decoder": {"gru": {"ir": {"kernel": np.zeros((4, 4))}},
+                          "fc": {"kernel": np.zeros((4, 2))}}}
+    tf_tree = {"decoder": {"trg_word_emb": {"embedding": np.zeros((9, 8))},
+                           "classifier": {"kernel": np.zeros((8, 9))}}}
+    with pytest.raises(ValueError, match="architecture mismatch"):
+        merge_pretrained_tree(params, tf_tree)
+    # partial match still merges with skip notes (documented behavior)
+    ok_tree = {"decoder": {"fc": {"kernel": np.ones((4, 2))},
+                           "classifier": {"kernel": np.zeros((8, 9))}}}
+    merged = merge_pretrained_tree(params, ok_tree)
+    assert np.allclose(merged["decoder"]["fc"]["kernel"], 1)
+
+
+def test_resume_pth_raises_clear_error(tmp_path):
+    """--resume only restores native checkpoints; a .pth there is a
+    confused --finetune and must fail fast with guidance (before any
+    global GELU state is flipped)."""
+    from dig_tpu.cli.run_finetune import main
+    from dig_tpu.config import FinetuneConfig
+    from dig_tpu.ops import activations
+
+    old = activations.EXACT
+    with pytest.raises(ValueError, match="--finetune"):
+        main(FinetuneConfig(model="vit_micro_patch4_32x128",
+                            resume="model.pth",
+                            output_dir=str(tmp_path / "o")))
+    assert activations.EXACT is old

@@ -128,7 +128,10 @@ def test_fused_bias_grad_dense_matches_nn_dense(monkeypatch):
     monkeypatch.setenv("DIG_TPU_FUSED_BIAS_GRAD", "1")
     fd.INTERPRET = True
     try:
-        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 32))
+        # 4*300 = 1200 flattened rows >= 2*_BLOCK_ROWS so the backward
+        # actually routes through the Pallas column-sum kernel (a smaller
+        # input silently takes the jnp fallback)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 300, 32))
         fused = Mlp(hidden_dim=64)
         v1 = fused.init(jax.random.PRNGKey(1), x)
 

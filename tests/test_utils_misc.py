@@ -142,6 +142,20 @@ def test_resolve_exact_gelu_auto_on_for_torch_checkpoints():
     assert resolve_exact_gelu(True, ("", "")) is True
 
 
+def test_resolve_exact_gelu_env_var_precedence(monkeypatch):
+    """DIG_TPU_EXACT_GELU (the documented env knob, activations.py:30)
+    must keep working through the CLI: it beats path auto-detection but
+    loses to an explicit --exact_gelu flag."""
+    from dig_tpu.ops.activations import resolve_exact_gelu
+
+    monkeypatch.setenv("DIG_TPU_EXACT_GELU", "1")
+    assert resolve_exact_gelu(None, ("out/checkpoint-9", "")) is True
+    assert resolve_exact_gelu(None, ("", "")) is True
+    assert resolve_exact_gelu(False, ("", "")) is False  # flag wins
+    monkeypatch.delenv("DIG_TPU_EXACT_GELU")
+    assert resolve_exact_gelu(None, ("out/checkpoint-9", "")) is False
+
+
 def test_set_exact_gelu_switch():
     import jax.numpy as jnp
     import numpy as np
