@@ -1,0 +1,232 @@
+"""Batch-inference entry point: checkpoint -> recognized text.
+
+The reference framework stops at `--eval` over labeled benchmark LMDBs
+(run_class_finetuning.py:557-580); actually *using* a trained recognizer
+on new images means writing a loader by hand.  This CLI is the
+production-shaped path the reference lacks:
+
+    python -m dig_tpu.cli.run_predict \
+        --resume out/checkpoint-best \
+        --images crops/ more/*.png single.jpg \
+        --output predictions.tsv
+
+    python -m dig_tpu.cli.run_predict \
+        --finetune DiG_finetuned.pth --data_path benchmark_lmdb
+
+Inputs may be image files, directories (recursed), globs, and/or LMDBs
+in the reference schema (labels ignored).  Output is TSV lines
+``name<TAB>text<TAB>confidence`` to stdout or ``--output``.  Decoding is
+the same jitted greedy / beam program as evaluation; confidence is the
+per-sample geometric mean of the chosen-token probabilities up to EOS
+(greedy path; beam emits -1, the reference's beam returns no scores
+either, models/decoder.py:254-370).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dig_tpu.config import PredictConfig, config_to_json, parse_config
+from dig_tpu.data.dataset import decode_image
+from dig_tpu.data.transforms import resize_normalize
+from dig_tpu.utils.charset import build_charset
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm", ".tif", ".tiff")
+
+
+def collect_image_paths(specs) -> list:
+    """Expand files / directories (recursed) / globs into a sorted,
+    deduplicated list of image paths."""
+    out = []
+    for spec in specs:
+        if os.path.isdir(spec):
+            for root, _, files in os.walk(spec):
+                out.extend(os.path.join(root, f) for f in sorted(files)
+                           if f.lower().endswith(IMAGE_EXTS))
+        elif os.path.isfile(spec):
+            out.append(spec)
+        else:
+            matched = sorted(glob.glob(spec, recursive=True))
+            if not matched:
+                print(f"[predict] no images match {spec!r}", file=sys.stderr)
+            out.extend(p for p in matched
+                       if p.lower().endswith(IMAGE_EXTS) or os.path.isfile(p))
+    return list(dict.fromkeys(out))
+
+
+def iter_file_batches(paths, batch_size, h, w, num_workers: int = 4):
+    """Yield (names, images [B,H,W,3] float32) batches from image files.
+    Corrupt/unreadable files are skipped with a note (the reference
+    dataset's skip-on-corrupt behavior, dataset/dataset_lmdb.py:173-177)."""
+
+    def load(p):
+        try:
+            with open(p, "rb") as f:
+                img = decode_image(f.read())
+        except OSError:
+            img = None
+        if img is None:
+            print(f"[predict] skipping unreadable image {p!r}", file=sys.stderr)
+            return None
+        return resize_normalize(img, h, w)
+
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        names, imgs = [], []
+        for p, img in zip(paths, pool.map(load, paths)):
+            if img is None:
+                continue
+            names.append(p)
+            imgs.append(img)
+            if len(imgs) == batch_size:
+                yield names, np.stack(imgs)
+                names, imgs = [], []
+        if imgs:
+            yield names, np.stack(imgs)
+
+
+def iter_lmdb_batches(data_paths, batch_size, cfg):
+    """Yield (names, images) batches from LMDBs in the reference schema;
+    labels are read but ignored."""
+    from dig_tpu.data.dataset import build_dataset
+
+    for path in data_paths:
+        ds = build_dataset(path, is_train=False, voc_type=cfg.voc_type,
+                           max_len=cfg.max_len, img_height=cfg.input_h,
+                           img_width=cfg.input_w)
+        names, imgs = [], []
+        for i in range(len(ds)):
+            img, _, _ = ds[i]
+            names.append(f"{path}#{i}")
+            imgs.append(np.asarray(img))
+            if len(imgs) == batch_size:
+                yield names, np.stack(imgs)
+                names, imgs = [], []
+        if imgs:
+            yield names, np.stack(imgs)
+
+
+def make_predict_fn(model, cfg, eos: int):
+    """One jitted program: images -> (ids [B,T], confidence [B])."""
+
+    if cfg.model_kind == "ctc":
+
+        def predict(params, images):
+            logits = model.apply({"params": params}, images, True)
+            probs = jax.nn.softmax(logits, axis=-1)
+            ids = jnp.argmax(logits, axis=-1)
+            conf = jnp.exp(jnp.mean(jnp.log(jnp.max(probs, axis=-1) + 1e-9), axis=-1))
+            return ids, conf
+
+        return jax.jit(predict)
+
+    def predict(params, images):
+        probs, ids = model.apply({"params": params}, images, cfg.beam_width,
+                                 eos, method=model.recognize)
+        if probs is None:  # beam path: no per-step distribution
+            return ids, jnp.full((ids.shape[0],), -1.0, jnp.float32)
+        step_p = jnp.take_along_axis(probs, ids[..., None], axis=-1)[..., 0]
+        t = ids.shape[1]
+        is_eos = ids == eos
+        has_eos = is_eos.any(axis=1)
+        eff_len = jnp.where(has_eos, jnp.argmax(is_eos, axis=1) + 1, t)
+        mask = jnp.arange(t)[None, :] < eff_len[:, None]
+        logp = jnp.sum(jnp.log(step_p + 1e-9) * mask, axis=1) / eff_len
+        return ids, jnp.exp(logp)
+
+    return jax.jit(predict)
+
+
+def load_params(cfg: PredictConfig, model):
+    """Initialize the model tree and overlay checkpoint weights.
+
+    --resume restores a native full-model checkpoint; --finetune routes
+    through the fine-tune surgery (full-recognizer .pth conversion, or
+    encoder-only graft for SSL checkpoints)."""
+    from dig_tpu.optim import make_optimizer
+    from dig_tpu.train.finetune import init_finetune_state
+    from dig_tpu.utils.checkpoint import restore_checkpoint
+
+    tx = make_optimizer(np.array([0.0], np.float32))
+    state = init_finetune_state(model, tx, jax.random.PRNGKey(cfg.seed),
+                                max_len=cfg.max_len, model_kind=cfg.model_kind)
+    if cfg.resume:
+        payload = restore_checkpoint(cfg.resume)
+        return payload["params"]
+    if cfg.finetune:
+        from dig_tpu.cli.run_finetune import load_finetune_init
+
+        return load_finetune_init(cfg, state, model).params
+    print("[predict] WARNING: no --resume/--finetune given; "
+          "predicting with randomly initialized weights", file=sys.stderr)
+    return state.params
+
+
+def main(cfg: PredictConfig):
+    if not cfg.images and not cfg.data_path:
+        raise SystemExit("run_predict: provide --images and/or --data_path")
+    print(config_to_json(cfg), file=sys.stderr)
+
+    # GELU form must be fixed before tracing (see run_finetune.main)
+    from dig_tpu.ops import activations
+
+    exact = activations.resolve_exact_gelu(
+        cfg.exact_gelu, (cfg.finetune, cfg.resume))
+    if exact != activations.EXACT:
+        activations.set_exact(exact)
+
+    charset = build_charset(cfg.voc_type, cfg.max_len)
+    assert charset.num_classes == cfg.nb_classes, (
+        charset.num_classes, cfg.nb_classes)
+
+    from dig_tpu.cli.run_finetune import build_model
+
+    model = build_model(cfg)
+    params = load_params(cfg, model)
+    predict_fn = make_predict_fn(model, cfg, eos=charset.eos_id)
+
+    if cfg.model_kind == "ctc":
+        from dig_tpu.metrics.text import ctc_decode_batch
+
+        decode = lambda ids: ctc_decode_batch(ids, charset)  # noqa: E731
+    else:
+        decode = lambda ids: [charset.decode(row) for row in ids]  # noqa: E731
+
+    def batches():
+        if cfg.images:
+            yield from iter_file_batches(
+                collect_image_paths(cfg.images), cfg.batch_size,
+                cfg.input_h, cfg.input_w, cfg.num_workers)
+        if cfg.data_path:
+            yield from iter_lmdb_batches(cfg.data_path, cfg.batch_size, cfg)
+
+    sink = open(cfg.output, "w") if cfg.output else sys.stdout
+    n = 0
+    try:
+        for names, images in batches():
+            b = images.shape[0]
+            if b < cfg.batch_size:  # pad to the compiled static shape
+                pad = cfg.batch_size - b
+                images = np.concatenate(
+                    [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+            ids, conf = predict_fn(params, jnp.asarray(images))
+            texts = decode(np.asarray(ids)[:b])
+            conf = np.asarray(conf)[:b]
+            for name, text, c in zip(names, texts, conf):
+                sink.write(f"{name}\t{text}\t{c:.4f}\n")
+            n += b
+    finally:
+        if cfg.output:
+            sink.close()
+    print(f"[predict] recognized {n} images", file=sys.stderr)
+    return n
+
+
+if __name__ == "__main__":
+    main(parse_config(PredictConfig))

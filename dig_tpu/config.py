@@ -189,6 +189,53 @@ class FinetuneConfig:
         return self
 
 
+@dataclasses.dataclass
+class PredictConfig:
+    """Batch-inference entry point config (`dig_tpu.cli.run_predict`).
+
+    The reference has no prediction CLI — recognition outside of
+    `--eval` requires hand-writing a loader around RecModel
+    (models/model_builder.py:124-202).  This config drives a
+    production-shaped path: checkpoint -> recognize image files / LMDBs
+    -> text + confidence, batched on the TPU.  Model fields mirror
+    FinetuneConfig so a training config translates 1:1."""
+
+    # model (must match the checkpoint)
+    model: str = "vit_small_patch4_32x128"
+    decoder_name: str = "tf_decoder"
+    model_kind: str = "rec"  # rec | ctc | attn | seq_cls
+    use_1d_attdec: bool = False
+    use_mean_pooling: bool = True
+    text_cond_vis: bool = False
+    nb_classes: int = 97
+    max_len: int = 25
+    voc_type: str = "ALLCASES_SYMBOLS"
+    beam_width: int = 0
+    # inference is deterministic; rates exist only so build_model() is shared
+    drop: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path: float = 0.0
+    use_feat_distill: bool = False
+    exact_gelu: Optional[bool] = None  # None = auto (erf for .pth weights)
+    # weights: --resume = native full-model checkpoint dir;
+    # --finetune = reference .pth (converted) or SSL encoder graft
+    resume: str = ""
+    finetune: str = ""
+    model_key: str = "model|module"
+    model_prefix: str = ""
+    # input: files / directories / globs, and-or LMDBs (labels ignored)
+    images: List[str] = dataclasses.field(default_factory=list)
+    data_path: List[str] = dataclasses.field(default_factory=list)
+    input_h: int = 32
+    input_w: int = 128
+    batch_size: int = 512
+    num_workers: int = 4
+    # output: TSV ``name\ttext\tconfidence`` (stdout when empty)
+    output: str = ""
+    seed: int = 0
+    dtype: str = "bfloat16"
+
+
 def _add_field_args(parser: argparse.ArgumentParser, cfg) -> None:
     for f in dataclasses.fields(cfg):
         name = "--" + f.name
