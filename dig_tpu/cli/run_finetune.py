@@ -64,6 +64,7 @@ def build_model(cfg: FinetuneConfig):
         use_mean_pooling=cfg.use_mean_pooling,
         use_feat_distill=cfg.use_feat_distill,
         text_cond_vis=cfg.text_cond_vis,
+        use_mim_proj=getattr(cfg, "use_mim_proj", False),
         dtype=dtype,
         model_kind=cfg.model_kind,
     )
@@ -280,6 +281,14 @@ def main(cfg: FinetuneConfig):
         from dig_tpu.train.finetune import make_ctc_step
 
         step_fn = make_ctc_step(model, blank_id=cfg.nb_classes, mesh=mesh)
+    elif cfg.model_kind == "mim_rec":
+        from dig_tpu.train.finetune import make_mim_finetune_step
+
+        step_fn = make_mim_finetune_step(
+            model, smoothing=cfg.smoothing, mask_ratio=cfg.mask_ratio,
+            mim_sample_ratio=cfg.mim_sample_ratio,
+            loss_weight_pixel=cfg.loss_weight_pixel,
+            normalize_target=cfg.normlize_target, mesh=mesh)
     else:
         step_fn = make_finetune_step(model, smoothing=cfg.smoothing, mesh=mesh)
     tb = TensorboardLogger(cfg.log_dir or os.path.join(cfg.output_dir, "tb"))

@@ -108,7 +108,16 @@ class FinetuneConfig:
     # model
     model: str = "vit_small_patch4_32x128"
     decoder_name: str = "tf_decoder"
-    model_kind: str = "rec"  # rec | ctc | attn (selects the head family)
+    # rec | ctc | attn | seq_cls | mim_rec (selects the head family)
+    model_kind: str = "rec"
+    # mim_rec: auxiliary SimMIM branch during fine-tuning (the reference's
+    # MimRecModel, models/model_builder.py:204-290 — dead code there,
+    # wired first-class here; reference flag names preserved)
+    mim_sample_ratio: float = 0.5
+    use_mim_proj: bool = False
+    mask_ratio: float = 0.7
+    loss_weight_pixel: float = 1.0
+    normlize_target: bool = True  # (sic — reference flag spelling)
     use_feat_distill: bool = False
     loss_weight_feat_distill: float = 1.0
     teacher_ckpt: str = ""

@@ -199,6 +199,21 @@ class MimRecModel(nn.Module):
         out["rec_pred"] = self.decoder(dec_in, targets, tgt_lens, deterministic=deterministic)
         return out
 
+    def recognize(self, images, beam_width: int = 0, eos: int = 94):
+        """Inference: unmasked encoder -> greedy/beam decode (the
+        reference's eval path sets tgt=None with mask absent,
+        models/model_builder.py:277-289).  Returns (probs or None, ids)."""
+        import jax as _jax
+
+        dec_in = self.linear_norm(self.encoder(images, deterministic=True))
+        if beam_width > 0:
+            return None, self.decoder.beam_search(dec_in, beam_width, eos)
+        if _jax.default_backend() == "tpu":
+            return self.decoder.greedy_decode_dense(
+                dec_in, eos=eos if eos >= 0 else None
+            )
+        return self.decoder.greedy_decode(dec_in)
+
 
 class SeqClsTokenRecModel(nn.Module):
     """Non-autoregressive recognizer: the encoder's learned per-position
@@ -317,11 +332,30 @@ def build_rec_model(
     use_mean_pooling: bool = True,
     use_feat_distill: bool = False,
     text_cond_vis: bool = False,
+    use_mim_proj: bool = False,
     dtype=jnp.float32,
-    model_kind: str = "rec",  # rec | ctc | attn
+    model_kind: str = "rec",  # rec | ctc | attn | seq_cls | mim_rec
 ) -> nn.Module:
     """Model factory mirroring the reference's encoder/decoder assembly
     (run_class_finetuning.py:344-356, models/encoder.py:6-20)."""
+    if model_kind == "mim_rec":
+        # The auxiliary-MIM recognizer needs the masked (SimMIM) encoder.
+        # The reference's MimRecModel is unreachable dead code whose
+        # `self.encoder(x, mask)` call does not even typecheck against its
+        # finetune ViT (models/model_builder.py:263 vs the mask-less
+        # forward at modeling_finetune.py:361-366); wired first-class here
+        # against `PretrainViTEncoder` (mask-token substitution).
+        simmim_name = (model_name if model_name.startswith(("simmim_", "pretrain_"))
+                       else "simmim_" + model_name)
+        encoder = create_model(
+            simmim_name, drop_rate=drop_rate, attn_drop_rate=attn_drop_rate,
+            drop_path_rate=drop_path_rate, dtype=dtype,
+        )
+        decoder = create_decoder(decoder_name, nb_classes, max_len,
+                                 encoder_dim=encoder.embed_dim, dtype=dtype)
+        return MimRecModel(encoder=encoder, decoder=decoder,
+                           use_mim_proj=use_mim_proj,
+                           pix_classes=encoder.patch_size ** 2 * 3, dtype=dtype)
     encoder = create_model(
         model_name,
         drop_rate=drop_rate,

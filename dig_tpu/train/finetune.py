@@ -26,6 +26,14 @@ def init_finetune_state(model, tx, rng, batch_size: int = 2, max_len: int = 25,
     images = jnp.zeros((batch_size, *img_size, 3), jnp.float32)
     if model_kind == "ctc":
         variables = model.init(rng, images, True)
+    elif model_kind == "mim_rec":
+        # the MIM branch's pix head / projector only materialize when a
+        # mask is supplied, so init must exercise that path
+        targets = jnp.zeros((batch_size, max_len), jnp.int32)
+        lens = jnp.ones((batch_size,), jnp.int32)
+        mask = jnp.ones((batch_size, model.encoder.num_patches), bool)
+        variables = model.init(rng, images, targets, lens, mask,
+                               batch_size, True)
     else:
         targets = jnp.zeros((batch_size, max_len), jnp.int32)
         lens = jnp.ones((batch_size,), jnp.int32)
@@ -140,6 +148,75 @@ def make_ctc_step(model, blank_id: int, mesh=None):
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
         return new_state, {"loss": loss}, jnp.argmax(logits, axis=-1)
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=0)
+    data = batch_sharding(mesh)
+    shardings = {"images": data, "targets": data, "lengths": data}
+    return jax.jit(train_step, in_shardings=(None, shardings, NamedSharding(mesh, P())),
+                   donate_argnums=0)
+
+
+def make_mim_finetune_step(model, smoothing: float = 0.1,
+                           mask_ratio: float = 0.7,
+                           mim_sample_ratio: float = 0.5,
+                           loss_weight_pixel: float = 1.0,
+                           normalize_target: bool = True, mesh=None):
+    """Fine-tuning with the auxiliary SimMIM pixel branch (`MimRecModel`;
+    reference models/model_builder.py:204-290, which the reference never
+    wires into an engine).  Per step: the first
+    ``round(mim_sample_ratio * B)`` samples get exact-count random masks,
+    the recognition CE covers the whole batch (masked samples optionally
+    routed through `mim_proj`), and a masked-patch pixel MSE — the
+    pretrain target construction (engine_for_pretraining_moco.py:83-111)
+    — is added with weight ``loss_weight_pixel``.  Masks are generated
+    inside the jitted step (device RNG), so the host pipeline is the
+    plain labeled loader."""
+    from dig_tpu.data.masking import random_mask_batch
+    from dig_tpu.ops.patchify import mim_pixel_targets
+    from dig_tpu.train.pretrain import masked_mse
+
+    def train_step(state: TrainState, batch, rng):
+        images, targets, lens = batch["images"], batch["targets"], batch["lengths"]
+        b = images.shape[0]
+        n = model.encoder.num_patches
+        num_mim = int(round(mim_sample_ratio * b))
+        k_mask, k_drop = jax.random.split(rng)
+        mask = jnp.zeros((b, n), bool)
+        if num_mim > 0:
+            m = random_mask_batch(k_mask, num_mim, n,
+                                  int(mask_ratio * n), 1)[:, 0]
+            mask = mask.at[:num_mim].set(m)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, images, targets, lens, mask, num_mim,
+                False, rngs={"dropout": k_drop}
+            )
+            logits = out["rec_pred"]
+            if smoothing > 0:
+                rec = seq_label_smoothing_cross_entropy(logits, targets, lens, smoothing)
+            else:
+                rec = seq_cross_entropy(logits, targets, lens)
+            loss = rec
+            metrics = {"loss_rec": rec}
+            if num_mim > 0:
+                pix_targets = mim_pixel_targets(
+                    images, model.encoder.patch_size, normalize_target)
+                pix = masked_mse(out["pix_pred"], pix_targets, mask)
+                loss = loss + pix * loss_weight_pixel
+                metrics["loss_pixel"] = pix
+            metrics["loss"] = loss
+            return loss, (logits, metrics)
+
+        import optax
+
+        (loss, (logits, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        pred_ids = jnp.argmax(logits, axis=-1)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics, pred_ids
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=0)
