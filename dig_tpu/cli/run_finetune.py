@@ -165,6 +165,13 @@ def main(cfg: FinetuneConfig):
             "--resume expects a native dig_tpu checkpoint directory; "
             "to initialize from a torch .pth use --finetune "
             f"(got --resume {cfg.resume})")
+    if cfg.use_feat_distill and cfg.model_kind != "rec":
+        # the distillation step's positional call signature only matches
+        # RecModel (reference: feat_proj lives on RecModel only,
+        # models/model_builder.py:113-115)
+        raise ValueError(
+            f"--use_feat_distill requires --model_kind rec "
+            f"(got {cfg.model_kind})")
 
     # GELU form must be fixed BEFORE any model code is traced (see
     # dig_tpu/ops/activations.py).  Auto: converted .pth weights were

@@ -42,12 +42,14 @@ IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm", ".tif", ".tiff")
 
 
 def collect_image_paths(specs) -> list:
-    """Expand files / directories (recursed) / globs into a sorted,
-    deduplicated list of image paths."""
+    """Expand files / directories (recursed) / globs into a deduplicated
+    list of image paths; deterministic order (specs in given order, walks
+    and globs sorted) so output TSVs are reproducible across machines."""
     out = []
     for spec in specs:
         if os.path.isdir(spec):
-            for root, _, files in os.walk(spec):
+            for root, dirs, files in os.walk(spec):
+                dirs.sort()  # os.walk order is filesystem-dependent
                 out.extend(os.path.join(root, f) for f in sorted(files)
                            if f.lower().endswith(IMAGE_EXTS))
         elif os.path.isfile(spec):
@@ -77,34 +79,50 @@ def iter_file_batches(paths, batch_size, h, w, num_workers: int = 4):
             return None
         return resize_normalize(img, h, w)
 
+    # chunked map: bounds decoded-image memory at O(chunk) even when the
+    # consumer (device inference) is slower than the decode threads —
+    # Executor.map over the full list would buffer every completed result
+    chunk = max(batch_size * 8, 64)
     with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
         names, imgs = [], []
-        for p, img in zip(paths, pool.map(load, paths)):
-            if img is None:
-                continue
-            names.append(p)
-            imgs.append(img)
-            if len(imgs) == batch_size:
-                yield names, np.stack(imgs)
-                names, imgs = [], []
+        for start in range(0, len(paths), chunk):
+            part = paths[start:start + chunk]
+            for p, img in zip(part, pool.map(load, part)):
+                if img is None:
+                    continue
+                names.append(p)
+                imgs.append(img)
+                if len(imgs) == batch_size:
+                    yield names, np.stack(imgs)
+                    names, imgs = [], []
         if imgs:
             yield names, np.stack(imgs)
 
 
 def iter_lmdb_batches(data_paths, batch_size, cfg):
-    """Yield (names, images) batches from LMDBs in the reference schema;
-    labels are read but ignored."""
-    from dig_tpu.data.dataset import build_dataset
+    """Yield (names, images) batches from LMDBs in the reference schema
+    (``image-%09d`` / ``num-samples``).  Records are read DIRECTLY by
+    index — labels are never touched (unlabeled LMDBs work) and a
+    corrupt/missing record is skipped under its own name, never
+    substituted by a neighbor (unlike the training dataset's
+    skip-to-next-index behavior, dataset/dataset_lmdb.py:173-187, which
+    would misattribute predictions here)."""
+    from dig_tpu.data.lmdb_store import LmdbReader
 
     for path in data_paths:
-        ds = build_dataset(path, is_train=False, voc_type=cfg.voc_type,
-                           max_len=cfg.max_len, img_height=cfg.input_h,
-                           img_width=cfg.input_w)
+        reader = LmdbReader(path)
+        n = int(reader.get(b"num-samples"))
         names, imgs = [], []
-        for i in range(len(ds)):
-            img, _, _ = ds[i]
-            names.append(f"{path}#{i}")
-            imgs.append(np.asarray(img))
+        for i in range(1, n + 1):
+            name = f"{path}#{i}"
+            buf = reader.get(b"image-%09d" % i)
+            img = decode_image(buf) if buf is not None else None
+            if img is None:
+                print(f"[predict] skipping unreadable record {name!r}",
+                      file=sys.stderr)
+                continue
+            names.append(name)
+            imgs.append(resize_normalize(img, cfg.input_h, cfg.input_w))
             if len(imgs) == batch_size:
                 yield names, np.stack(imgs)
                 names, imgs = [], []
@@ -146,19 +164,21 @@ def make_predict_fn(model, cfg, eos: int):
 def load_params(cfg: PredictConfig, model):
     """Initialize the model tree and overlay checkpoint weights.
 
-    --resume restores a native full-model checkpoint; --finetune routes
-    through the fine-tune surgery (full-recognizer .pth conversion, or
+    --resume restores a native full-model checkpoint (params only — no
+    model init / optimizer allocation needed); --finetune routes through
+    the fine-tune surgery (full-recognizer .pth conversion, or
     encoder-only graft for SSL checkpoints)."""
+    from dig_tpu.utils.checkpoint import restore_checkpoint
+
+    if cfg.resume:
+        return restore_checkpoint(cfg.resume)["params"]
+
     from dig_tpu.optim import make_optimizer
     from dig_tpu.train.finetune import init_finetune_state
-    from dig_tpu.utils.checkpoint import restore_checkpoint
 
     tx = make_optimizer(np.array([0.0], np.float32))
     state = init_finetune_state(model, tx, jax.random.PRNGKey(cfg.seed),
                                 max_len=cfg.max_len, model_kind=cfg.model_kind)
-    if cfg.resume:
-        payload = restore_checkpoint(cfg.resume)
-        return payload["params"]
     if cfg.finetune:
         from dig_tpu.cli.run_finetune import load_finetune_init
 
@@ -171,6 +191,10 @@ def load_params(cfg: PredictConfig, model):
 def main(cfg: PredictConfig):
     if not cfg.images and not cfg.data_path:
         raise SystemExit("run_predict: provide --images and/or --data_path")
+    if cfg.resume.endswith((".pth", ".pt")):
+        raise ValueError(
+            "--resume expects a native dig_tpu checkpoint directory; "
+            f"to load a torch .pth use --finetune (got --resume {cfg.resume})")
     print(config_to_json(cfg), file=sys.stderr)
 
     # GELU form must be fixed before tracing (see run_finetune.main)

@@ -208,9 +208,24 @@ def export_torch_attn_head(tree: dict, prefix: str = "decoder.") -> dict:
     return out
 
 
-def export_torch_recognizer(params: dict, patch_size: int = 4) -> dict:
+def export_torch_recognizer(params: dict, patch_size: int = 4,
+                            strict: bool = True) -> dict:
     """Full RecModel/AttnRecModel params -> the reference's finetuned
-    checkpoint state_dict (inverse of `convert_torch_recognizer`)."""
+    checkpoint state_dict (inverse of `convert_torch_recognizer`).
+
+    With ``strict`` (default), parameter trees that have NO reference
+    layout (CTC's fc0/norm/fc1, SeqClsTokenRecModel's head, distillation
+    projectors, ...) raise instead of silently exporting a headless
+    encoder-only .pth; `multi_label` is the one documented exclusion
+    (see module docstring)."""
+    known = {"encoder", "linear_norm", "decoder", "multi_label"}
+    extra = sorted(set(params) - known)
+    if strict and extra:
+        raise ValueError(
+            f"param trees {extra} have no reference .pth layout — this "
+            "head family cannot be exported as a reference recognizer "
+            "(export the ViT alone with --encoder_only, or pass "
+            "strict=False to drop these trees)")
     out = export_torch_encoder(params.get("encoder", {}),
                                patch_size=patch_size)
     if "linear_norm" in params:

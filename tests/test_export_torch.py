@@ -38,9 +38,12 @@ def _init_params(model_kind="rec", decoder_name="small_tf_decoder"):
         nb_classes=97, max_len=25, model_kind=model_kind,
     )
     images = jnp.zeros((2, 32, 128, 3), jnp.float32)
-    targets = jnp.zeros((2, 25), jnp.int32)
-    lens = jnp.ones((2,), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), images, targets, lens, True)
+    if model_kind == "ctc":
+        variables = model.init(jax.random.PRNGKey(0), images, True)
+    else:
+        targets = jnp.zeros((2, 25), jnp.int32)
+        lens = jnp.ones((2,), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), images, targets, lens, True)
     return jax.device_get(variables["params"])
 
 
@@ -123,6 +126,16 @@ def test_export_pth_tool_full_circle(tmp_path, monkeypatch):
     sd = load_torch_checkpoint(pth)
     assert has_decoder_keys(sd)
     _assert_tree_roundtrip(params, convert_torch_recognizer(sd))
+
+
+def test_export_rejects_headless_families():
+    """CTC / seq-cls-token heads have no reference .pth layout; strict
+    export raises instead of silently writing an encoder-only file."""
+    params = _init_params(model_kind="ctc")
+    with pytest.raises(ValueError, match="no reference .pth layout"):
+        export_torch_recognizer(params)
+    sd = export_torch_recognizer(params, strict=False)  # encoder-only
+    assert sd and all(k.startswith("encoder.") for k in sd)
 
 
 def test_state_dict_space_roundtrip():

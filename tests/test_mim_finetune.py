@@ -89,6 +89,17 @@ def test_mim_recognize_greedy():
     assert np.isfinite(float(loss))
 
 
+def test_mim_rec_rejects_feat_distill():
+    """--use_feat_distill would hijack the step-fn branch with a call
+    signature only RecModel accepts; the CLI rejects the combination."""
+    from dig_tpu.cli.run_finetune import main
+    from dig_tpu.config import FinetuneConfig
+
+    with pytest.raises(ValueError, match="use_feat_distill"):
+        main(FinetuneConfig(model_kind="mim_rec", use_feat_distill=True,
+                            teacher_ckpt="t", output_dir=""))
+
+
 @pytest.mark.slow
 def test_mim_rec_cli_train_and_eval(tmp_path):
     """End-to-end through the real entry point."""

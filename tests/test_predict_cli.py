@@ -53,6 +53,43 @@ def test_iter_file_batches_skips_corrupt(tmp_path, capsys):
     assert float(batches[0][1].max()) <= 1.0 and float(batches[0][1].min()) >= -1.0
 
 
+def test_iter_lmdb_batches_unlabeled_and_no_substitution(tmp_path):
+    """LMDB records are read directly by index: label-less LMDBs work, and
+    a corrupt record is skipped under its OWN name — never replaced by a
+    neighbor (the training dataset's skip-to-next-index would misattribute
+    predictions here)."""
+    import cv2
+
+    from dig_tpu.cli.run_predict import iter_lmdb_batches
+    from dig_tpu.config import PredictConfig
+    from dig_tpu.data.lmdb_store import LmdbWriter
+
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "lmdb")
+    with LmdbWriter(path) as w:
+        for i in (1, 3):  # no labels at all; record 2 is corrupt
+            img = rng.integers(0, 255, size=(32, 100, 3), dtype=np.uint8)
+            ok, buf = cv2.imencode(".jpg", img)
+            assert ok
+            w.put(b"image-%09d" % i, buf.tobytes())
+        w.put(b"image-%09d" % 2, b"corrupt bytes")
+        w.put(b"num-samples", b"3")
+
+    cfg = PredictConfig(input_h=32, input_w=128)
+    batches = list(iter_lmdb_batches([path], batch_size=4, cfg=cfg))
+    names = [n for batch_names, _ in batches for n in batch_names]
+    assert names == [f"{path}#1", f"{path}#3"]
+    assert batches[0][1].shape == (2, 32, 128, 3)
+
+
+def test_predict_resume_pth_rejected(tmp_path):
+    from dig_tpu.cli.run_predict import main
+    from dig_tpu.config import PredictConfig
+
+    with pytest.raises(ValueError, match="native dig_tpu checkpoint"):
+        main(PredictConfig(resume="weights.pth", images=[str(tmp_path)]))
+
+
 @pytest.mark.slow
 def test_predict_cli_end_to_end(tmp_path):
     """Save a native recognizer checkpoint, then predict over a folder of

@@ -41,7 +41,10 @@ def main():
 
     payload = restore_checkpoint(args.checkpoint)
     params = payload["params"]
-    if args.ema and payload.get("ema_params") is not None:
+    if args.ema:
+        if payload.get("ema_params") is None:
+            raise SystemExit(
+                f"--ema: checkpoint {args.checkpoint} carries no EMA tree")
         params = payload["ema_params"]
     if args.encoder_only:
         enc = params.get("encoder", params)
