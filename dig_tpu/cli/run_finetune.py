@@ -303,6 +303,9 @@ def main(cfg: FinetuneConfig):
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
     print_freq = 100
     max_accuracy = 0.0
+    from dig_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard.install()
 
     for epoch in range(start_epoch, cfg.epochs):
         loader.sampler.set_epoch(epoch)
@@ -316,6 +319,16 @@ def main(cfg: FinetuneConfig):
             })
             step_rng, sub = jax.random.split(step_rng)
             state, metrics, pred_ids = step_fn(state, batch, sub)
+            if guard.should_stop:
+                # preemption: flush at the step boundary, exit clean.
+                # extra epoch-1 => auto-resume redoes this epoch's data
+                # pass with the (preserved) mid-epoch optimizer state.
+                if cfg.output_dir and cfg.save_ckpt:
+                    save_checkpoint(cfg.output_dir, epoch, state,
+                                    extra={"epoch": epoch - 1})
+                print(f"[preemption] checkpointed at epoch {epoch} "
+                      f"step {it}; exiting")
+                sys.exit(0)
             if it % print_freq == 0 or it == steps_per_epoch - 1:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 if not math.isfinite(host_metrics["loss"]):

@@ -151,6 +151,9 @@ def main(cfg: PretrainConfig):
     jsonl = JsonlLogger(cfg.output_dir)
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
     print_freq = 100
+    from dig_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard.install()
 
     from dig_tpu.data.pipeline import device_prefetch
 
@@ -173,6 +176,15 @@ def main(cfg: PretrainConfig):
                 step_rng, vsub = jax.random.split(step_rng)
                 batch = view_fn(vsub, batch["images"])
             state, metrics = step_fn(state, batch, sub)
+            if guard.should_stop:
+                # preemption: flush at the step boundary, exit clean
+                # (extra epoch-1 => auto-resume redoes this epoch)
+                if cfg.output_dir:
+                    save_checkpoint(cfg.output_dir, epoch, state,
+                                    extra={"epoch": epoch - 1})
+                print(f"[preemption] checkpointed at epoch {epoch} "
+                      f"step {it}; exiting")
+                sys.exit(0)
             if it % print_freq == 0 or it == steps_per_epoch - 1:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 if not math.isfinite(host_metrics["loss"]):
