@@ -223,6 +223,14 @@ def main(cfg: FinetuneConfig):
         total = sum(r["n"] for r in results)
         avg = sum(r["acc"] * r["n"] for r in results) / max(total, 1)
         print(f"average word accuracy over {len(results)} benchmarks: {avg:.4f}")
+        if cfg.output_dir and is_main_process():
+            # machine-readable sweep artifact (the reference only prints)
+            import json
+
+            with open(os.path.join(cfg.output_dir, "eval_results.json"), "w") as f:
+                json.dump({"benchmarks": results, "average_acc": avg,
+                           "n_images": int(total),
+                           "beam_width": cfg.beam_width}, f, indent=2)
         return results
 
     rank, world = jax.process_index(), jax.process_count()

@@ -121,6 +121,14 @@ def test_finetune_cli_train_and_eval(fixture_lmdb, tmp_path):
     assert len(results) == 2
     for r in results:
         assert 0.0 <= r["acc"] <= 1.0 and r["n"] == 16
+    # machine-readable sweep artifact
+    import json
+
+    with open(str(tmp_path / "eval" / "eval_results.json")) as f:
+        artifact = json.load(f)
+    assert len(artifact["benchmarks"]) == 2
+    assert artifact["n_images"] == 32
+    assert 0.0 <= artifact["average_acc"] <= 1.0
 
 
 def test_text_cond_cli_train_and_eval(fixture_lmdb, tmp_path):
