@@ -299,5 +299,47 @@ def main():
     print(json.dumps(result))
 
 
+def wait_for_backend(deadline_s: float = 600.0, probe_timeout_s: float = 280.0):
+    # probe timeout must cover a cold first-compile over the relay
+    # (50-270 s measured) — a killed probe caches nothing
+    """Ride out a transient accelerator-relay outage before initializing
+    JAX in-process (a dead backend poisons the whole process, so the probe
+    runs as a subprocess).  Gives up after `deadline_s` and proceeds — the
+    in-process attempt then reports the real error.  Tune/disable with
+    BENCH_WAIT_RELAY_S (0 disables)."""
+    import subprocess
+
+    deadline_s = float(os.environ.get("BENCH_WAIT_RELAY_S", deadline_s))
+    if deadline_s <= 0:
+        return
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float(jax.jit(lambda x:(x@x).sum())(jnp.ones((8,8)))))")
+    start = time.time()
+    while True:
+        remaining = deadline_s - (time.time() - start)
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=max(min(probe_timeout_s, remaining), 10.0),
+                capture_output=True,
+                env={**os.environ,
+                     "JAX_COMPILATION_CACHE_DIR":
+                         os.environ["JAX_COMPILATION_CACHE_DIR"]},
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        waited = time.time() - start
+        if waited >= deadline_s:
+            print(f"note: backend probe still failing after {waited:.0f}s; "
+                  "proceeding anyway", file=sys.stderr)
+            return
+        print(f"note: backend unreachable ({waited:.0f}s/{deadline_s:.0f}s); "
+              "retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 if __name__ == "__main__":
+    wait_for_backend()
     main()

@@ -232,6 +232,15 @@ def main(cfg: PredictConfig):
 
     sink = open(cfg.output, "w") if cfg.output else sys.stdout
     n = 0
+
+    def flush(names, b, ids, conf):
+        # np.asarray forces the async device computation here
+        texts = decode(np.asarray(ids)[:b])
+        for name, text, c in zip(names, texts, np.asarray(conf)[:b]):
+            sink.write(f"{name}\t{text}\t{c:.4f}\n")
+        return b
+
+    pending = None
     try:
         for names, images in batches():
             b = images.shape[0]
@@ -239,12 +248,15 @@ def main(cfg: PredictConfig):
                 pad = cfg.batch_size - b
                 images = np.concatenate(
                     [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+            # dispatch is async: flush the PREVIOUS batch's results while
+            # the device runs this one, overlapping host decode+IO with
+            # device compute (double buffering)
             ids, conf = predict_fn(params, jnp.asarray(images))
-            texts = decode(np.asarray(ids)[:b])
-            conf = np.asarray(conf)[:b]
-            for name, text, c in zip(names, texts, conf):
-                sink.write(f"{name}\t{text}\t{c:.4f}\n")
-            n += b
+            if pending is not None:
+                n += flush(*pending)
+            pending = (names, b, ids, conf)
+        if pending is not None:
+            n += flush(*pending)
     finally:
         if cfg.output:
             sink.close()
