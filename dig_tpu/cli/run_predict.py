@@ -147,8 +147,18 @@ def make_predict_fn(model, cfg, eos: int):
     def predict(params, images):
         probs, ids = model.apply({"params": params}, images, cfg.beam_width,
                                  eos, method=model.recognize)
-        if probs is None:  # beam path: no per-step distribution
-            return ids, jnp.full((ids.shape[0],), -1.0, jnp.float32)
+        if probs is None:
+            # beam path returns ids only (like the reference beam,
+            # models/decoder.py:254-370): rescore with one teacher-forced
+            # pass — softmax chain over the chosen ids IS the exact
+            # sequence probability, batched and MXU-friendly
+            lens = jnp.full((ids.shape[0],), ids.shape[1], jnp.int32)
+            logits = model.apply({"params": params}, images, ids, lens, True)
+            if isinstance(logits, dict):
+                logits = logits["rec_pred"]
+            elif isinstance(logits, tuple):
+                logits = logits[0]
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         step_p = jnp.take_along_axis(probs, ids[..., None], axis=-1)[..., 0]
         t = ids.shape[1]
         is_eos = ids == eos

@@ -151,8 +151,9 @@ def test_predict_cli_end_to_end(tmp_path):
 
 @pytest.mark.slow
 def test_predict_cli_beam_and_ctc(tmp_path):
-    """Beam path emits confidence -1 (no scores, like the reference beam);
-    CTC head decodes through the collapse rule."""
+    """Beam path emits a real confidence via teacher-forced rescoring
+    (the reference beam returns no scores); CTC decodes through the
+    collapse rule."""
     import jax
 
     from dig_tpu.cli.run_finetune import build_model
@@ -186,7 +187,4 @@ def test_predict_cli_beam_and_ctc(tmp_path):
         lines = (tmp_path / f"pred_{kind}.tsv").read_text().strip().split("\n")
         assert len(lines) == 2
         confs = [float(ln.split("\t")[2]) for ln in lines]
-        if kind == "rec":  # beam: no scores
-            assert all(c == -1.0 for c in confs)
-        else:
-            assert all(0.0 < c <= 1.0 for c in confs)
+        assert all(0.0 < c <= 1.0 for c in confs)
