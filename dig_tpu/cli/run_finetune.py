@@ -376,6 +376,10 @@ def main(cfg: FinetuneConfig):
             (epoch + 1) % cfg.save_ckpt_freq == 0 or epoch + 1 == cfg.epochs
         ):
             save_checkpoint(cfg.output_dir, epoch, state, extra={"epoch": epoch})
+            if cfg.keep_ckpt_max > 0:
+                from dig_tpu.utils.checkpoint import prune_checkpoints
+
+                prune_checkpoints(cfg.output_dir, cfg.keep_ckpt_max)
         jsonl.write(
             epoch=epoch,
             **{f"train_{k}": m.global_avg for k, m in logger.meters.items()},

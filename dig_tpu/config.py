@@ -77,6 +77,7 @@ class PretrainConfig:
     auto_resume: bool = True
     start_epoch: int = 0
     save_ckpt_freq: int = 1
+    keep_ckpt_max: int = 0  # keep only the newest N numeric ckpts (0 = all)
     eval_freq: int = 1000
     dtype: str = "bfloat16"
     # TPU-native additions
@@ -176,6 +177,7 @@ class FinetuneConfig:
     seed: int = 0
     save_ckpt: bool = True
     save_ckpt_freq: int = 1
+    keep_ckpt_max: int = 0  # keep only the newest N numeric ckpts (0 = all)
     eval_freq: int = 1000
     eval: bool = False
     # when True, eval benchmarks are sharded across hosts with a cross-host

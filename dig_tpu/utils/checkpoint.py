@@ -185,6 +185,43 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return _join(output_dir, best) if best else None
 
 
+def prune_checkpoints(output_dir: str, keep: int):
+    """Delete the oldest numeric ``checkpoint-N`` dirs beyond the newest
+    `keep` (0/negative = keep all, the reference behavior — it never
+    deletes).  Non-numeric tags (``checkpoint-best``, mid-epoch
+    ``checkpoint-3_100``) are never touched.  Remote URIs pruned through
+    fsspec."""
+    if keep <= 0:
+        return []
+    if _is_remote(output_dir):
+        import fsspec
+
+        fs, root = fsspec.core.url_to_fs(output_dir)
+        try:
+            names = [p.rstrip("/").rsplit("/", 1)[-1]
+                     for p in fs.ls(root, detail=False)]
+        except FileNotFoundError:
+            return []
+        rm = lambda name: fs.rm(f"{root}/{name}", recursive=True)  # noqa: E731
+    elif os.path.isdir(output_dir):
+        names = os.listdir(output_dir)
+        import shutil
+
+        rm = lambda name: shutil.rmtree(  # noqa: E731
+            os.path.join(output_dir, name), ignore_errors=True)
+    else:
+        return []
+    numbered = sorted(
+        (int(m.group(1)), n) for n in names
+        if (m := re.fullmatch(r"checkpoint-(\d+)", n))
+    )
+    pruned = []
+    for _, name in numbered[:-keep] if keep < len(numbered) else []:
+        rm(name)
+        pruned.append(name)
+    return pruned
+
+
 def auto_resume(output_dir: str, state):
     """Restore the latest checkpoint into `state` if one exists; returns
     (state, start_epoch_extra_dict)."""

@@ -209,3 +209,27 @@ def test_remote_checkpoint_roundtrip_memory_fs():
     assert payload["step"] == 0 and payload["extra"] == {"epoch": 3}
     # missing remote dir -> None, like the local scan
     assert latest_checkpoint("memory://ckpt_test/does_not_exist") is None
+
+
+def test_prune_checkpoints(tmp_path):
+    """--keep_ckpt_max retention: oldest numeric checkpoints removed, the
+    newest N plus every non-numeric tag (best, mid-epoch) kept; 0 = keep
+    all (the reference never deletes)."""
+    import os
+
+    from dig_tpu.utils.checkpoint import prune_checkpoints
+
+    base = str(tmp_path)
+    for name in ["checkpoint-0", "checkpoint-1", "checkpoint-2",
+                 "checkpoint-3", "checkpoint-10", "checkpoint-best",
+                 "checkpoint-3_100", "tb"]:
+        os.makedirs(os.path.join(base, name))
+
+    assert prune_checkpoints(base, 0) == []
+    pruned = prune_checkpoints(base, 2)
+    assert pruned == ["checkpoint-0", "checkpoint-1", "checkpoint-2"]
+    left = sorted(os.listdir(base))
+    assert left == ["checkpoint-10", "checkpoint-3", "checkpoint-3_100",
+                    "checkpoint-best", "tb"]
+    # keep >= count is a no-op
+    assert prune_checkpoints(base, 5) == []
