@@ -238,9 +238,22 @@ def main(cfg: FinetuneConfig):
     train_ds = build_dataset(
         cfg.data_path, is_train=True, voc_type=cfg.voc_type, max_len=cfg.max_len,
         num_samples=cfg.num_samples, use_aug=cfg.num_view > 1,
-        use_abi_aug=cfg.use_abi_aug, img_height=cfg.input_h, img_width=cfg.input_w,
+        use_abi_aug=cfg.use_abi_aug and not cfg.device_abi_aug,
+        img_height=cfg.input_h, img_width=cfg.input_w,
         rng=rng,
     )
+    aug_fn = None
+    if cfg.device_abi_aug:
+        # ABI augmentation as its own jitted device program (frees the
+        # cv2 host workers; see data/device_aug.device_abi_augment)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dig_tpu.data.device_aug import device_abi_augment
+        from dig_tpu.parallel.mesh import batch_sharding
+
+        aug_fn = jax.jit(device_abi_augment,
+                         in_shardings=(NamedSharding(mesh, P()),
+                                       batch_sharding(mesh)))
     local_batch = cfg.batch_size * (n_devices // world)
     loader = make_train_loader(
         train_ds, local_batch=local_batch, rank=rank, world=world,
@@ -325,6 +338,9 @@ def main(cfg: FinetuneConfig):
             batch = shard_batch(mesh, {
                 "images": images, "targets": targets, "lengths": lens,
             })
+            if aug_fn is not None:
+                step_rng, asub = jax.random.split(step_rng)
+                batch["images"] = aug_fn(asub, batch["images"])
             step_rng, sub = jax.random.split(step_rng)
             state, metrics, pred_ids = step_fn(state, batch, sub)
             if guard.should_stop:

@@ -168,6 +168,9 @@ class FinetuneConfig:
     num_samples: float = float("inf")
     num_view: int = 2
     use_abi_aug: bool = True
+    # run the ABI augmentation on device (jitted batched program) instead
+    # of in cv2 host workers — frees the host pipeline at TPU batch sizes
+    device_abi_aug: bool = False
     num_workers: int = 10
     # per-batch source homogeneity for multi-LMDB training (see PretrainConfig)
     batch_wise_shuffle: bool = False

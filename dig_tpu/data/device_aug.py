@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from dig_tpu.data.masking import random_mask_batch  # re-export for callers
 
-__all__ = ["device_augment", "batched_affine_warp", "random_mask_batch"]
+__all__ = ["device_augment", "device_abi_augment", "batched_affine_warp",
+           "batched_projective_warp", "random_mask_batch"]
 
 
 def batched_affine_warp(images: jnp.ndarray, inv_mats: jnp.ndarray) -> jnp.ndarray:
@@ -117,6 +118,232 @@ def _gaussian_blur(images, sigma):
     y = y.reshape(b, c, h, w).transpose(0, 2, 3, 1)
     s = sigma[:, None, None, None]
     return x * (1 - s) + y * s
+
+
+def batched_projective_warp(images: jnp.ndarray, inv_h: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear projective warp: sample input at (H_inv @ p) / z.
+
+    images [B, H, W, C]; inv_h [B, 3, 3] output->input homographies in
+    pixel coordinates (origin top-left).  Edge-clamped like the
+    reference's cv2 BORDER_REPLICATE warps (transforms.py:390)."""
+    b, h, w, c = images.shape
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], -1).reshape(-1, 3)  # [HW,3]
+
+    src = jnp.einsum("bij,nj->bni", inv_h, grid)  # [B, HW, 3]
+    z = jnp.where(jnp.abs(src[..., 2]) < 1e-6, 1e-6, src[..., 2])
+    sx = jnp.clip(src[..., 0] / z, 0.0, w - 1.0)
+    sy = jnp.clip(src[..., 1] / z, 0.0, h - 1.0)
+
+    x0, y0 = jnp.floor(sx), jnp.floor(sy)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    fx, fy = (sx - x0)[..., None], (sy - y0)[..., None]
+    flat = images.reshape(b, h * w, c)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).astype(jnp.int32)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    top = gather(y0, x0) * (1 - fx) + gather(y0, x1) * fx
+    bot = gather(y1, x0) * (1 - fx) + gather(y1, x1) * fx
+    return (top * (1 - fy) + bot * fy).reshape(b, h, w, c)
+
+
+def _affine_to_h(mats):
+    """[B, 2, 3] affine (center-origin) -> [B, 3, 3] homography in
+    top-left pixel coordinates, matching `batched_projective_warp`."""
+    b = mats.shape[0]
+    bottom = jnp.tile(jnp.array([[[0.0, 0.0, 1.0]]]), (b, 1, 1))
+    return jnp.concatenate([mats, bottom], axis=1)
+
+
+def _center_to_corner(h_mats, height, width):
+    """Re-express a center-origin homography in corner-origin pixels."""
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    t = jnp.array([[1.0, 0, cx], [0, 1.0, cy], [0, 0, 1.0]])
+    t_inv = jnp.array([[1.0, 0, -cx], [0, 1.0, -cy], [0, 0, 1.0]])
+    return jnp.einsum("ij,bjk,kl->bil", t, h_mats, t_inv)
+
+
+def _rand_abi_affine_mats(key, b, h, w, degrees=45.0, scale=(0.5, 2.0),
+                          shear=(45.0, 15.0), rotation_only=False):
+    """Inverse (output->input) affine mats, center-origin, matching the
+    ABI CVRandomRotation / CVRandomAffine parameter ranges
+    (dataset/dataset_lmdb.py:40: degrees=45, scale=(0.5,2), shear=(45,15))."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees) * (jnp.pi / 180)
+    if rotation_only:
+        sc = jnp.ones((b,))
+        shx = jnp.zeros((b,))
+        shy = jnp.zeros((b,))
+    else:
+        sc = jax.random.uniform(k2, (b,), minval=scale[0], maxval=scale[1])
+        shx = jax.random.uniform(k3, (b,), minval=-shear[0], maxval=shear[0]) * (jnp.pi / 180)
+        shy = jax.random.uniform(k4, (b,), minval=-shear[1], maxval=shear[1]) * (jnp.pi / 180)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    tx, ty = jnp.tan(shx), jnp.tan(shy)
+    # forward F = sc * R(ang) @ Shear(tx, ty); Shear = [[1, tx], [ty, 1]]
+    f00 = sc * (cos + (-sin) * ty)
+    f01 = sc * (cos * tx - sin)
+    f10 = sc * (sin + cos * ty)
+    f11 = sc * (sin * tx + cos)
+    det = f00 * f11 - f01 * f10
+    det = jnp.where(jnp.abs(det) < 1e-6, 1e-6, det)
+    inv = jnp.stack([
+        jnp.stack([f11 / det, -f01 / det, jnp.zeros((b,))], -1),
+        jnp.stack([-f10 / det, f00 / det, jnp.zeros((b,))], -1),
+    ], axis=1)
+    return inv
+
+
+def _rand_perspective_h(key, b, h, w, distortion=0.5):
+    """Inverse homographies for the ABI perspective op: the four image
+    corners pulled inward by |N(0, d/2·dim)| offsets (CVRandomPerspective,
+    transforms.py:361-392 with sample_asym), solved per sample by DLT."""
+    kh, kw_ = jax.random.split(key)
+    off_h = jnp.abs(jax.random.normal(kh, (b, 4))) * (distortion * h / 4)
+    off_w = jnp.abs(jax.random.normal(kw_, (b, 4))) * (distortion * w / 4)
+    off_h = jnp.clip(off_h, 0.0, distortion * h / 2)
+    off_w = jnp.clip(off_w, 0.0, distortion * w / 2)
+    # dst quad (where the corners land)
+    dst = jnp.stack([
+        jnp.stack([off_w[:, 0], off_h[:, 0]], -1),
+        jnp.stack([w - 1 - off_w[:, 1], off_h[:, 1]], -1),
+        jnp.stack([w - 1 - off_w[:, 2], h - 1 - off_h[:, 2]], -1),
+        jnp.stack([off_w[:, 3], h - 1 - off_h[:, 3]], -1),
+    ], axis=1)  # [B, 4, 2]
+    src = jnp.tile(jnp.array(
+        [[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]]
+    )[None], (b, 1, 1))
+    # inverse map: output pixel (dst) -> input pixel (src)
+    return _solve_homography(dst, src)
+
+
+def _solve_homography(src, dst):
+    """Batched 4-point DLT: H with H @ [src, 1] ~ [dst, 1].
+    src/dst [B, 4, 2] -> [B, 3, 3]."""
+    b = src.shape[0]
+    x, y = src[..., 0], src[..., 1]
+    u, v = dst[..., 0], dst[..., 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    rows_u = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], -1)
+    rows_v = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], -1)
+    a = jnp.concatenate([rows_u, rows_v], axis=1)  # [B, 8, 8]
+    rhs = jnp.concatenate([u, v], axis=1)[..., None]  # [B, 8, 1]
+    sol = jnp.linalg.solve(a, rhs)[..., 0]  # [B, 8]
+    return jnp.concatenate([sol, jnp.ones((b, 1))], -1).reshape(b, 3, 3)
+
+
+def _down_up(images, factor):
+    """Gaussian-pyramid-style rescale: blur, resize down by `factor`,
+    resize back (CVRescale, transforms.py:394-420)."""
+    b, h, w, c = images.shape
+    small = jax.image.resize(images, (b, h // factor, w // factor, c), "linear")
+    return jax.image.resize(small, images.shape, "linear")
+
+
+def _motion_blur(images, key, max_len=6.0):
+    """Directional average over 7 bilinear taps along a random angle with
+    a random support length (CVMotionBlur, transforms.py:437-455)."""
+    b = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    ang = jax.random.uniform(k1, (b,), minval=-jnp.pi / 2, maxval=jnp.pi / 2)
+    length = jax.random.uniform(k2, (b,), minval=1.0, maxval=max_len)
+    dx, dy = jnp.cos(ang), jnp.sin(ang)
+    taps = jnp.arange(-3, 4, dtype=jnp.float32)  # 7 taps
+    # per-sample translation-only affine mats for each tap offset
+    out = jnp.zeros_like(images)
+    wsum = jnp.zeros((b, 1, 1, 1))
+    for j in range(7):
+        t = taps[j]
+        wgt = (jnp.abs(t) <= length / 2).astype(jnp.float32)[:, None, None, None]
+        mats = jnp.stack([
+            jnp.stack([jnp.ones((b,)), jnp.zeros((b,)), t * dx], -1),
+            jnp.stack([jnp.zeros((b,)), jnp.ones((b,)), t * dy], -1),
+        ], axis=1)
+        out = out + wgt * batched_affine_warp(images, mats)
+        wsum = wsum + wgt
+    return out / jnp.maximum(wsum, 1.0)
+
+
+def _rgb_hue_rotate(u, angle):
+    """Rotate chroma in YIQ space (approximates HSV hue shift); u in
+    [0, 1], angle [B] radians."""
+    to_yiq = jnp.array([[0.299, 0.587, 0.114],
+                        [0.596, -0.274, -0.322],
+                        [0.211, -0.523, 0.312]])
+    to_rgb = jnp.linalg.inv(to_yiq)
+    yiq = jnp.einsum("ij,bhwj->bhwi", to_yiq, u)
+    cos = jnp.cos(angle)[:, None, None]
+    sin = jnp.sin(angle)[:, None, None]
+    i = yiq[..., 1] * cos - yiq[..., 2] * sin
+    q = yiq[..., 1] * sin + yiq[..., 2] * cos
+    yiq = jnp.stack([yiq[..., 0], i, q], -1)
+    return jnp.einsum("ij,bhwj->bhwi", to_rgb, yiq)
+
+
+def device_abi_augment(key, images: jnp.ndarray,
+                       p_geom: float = 0.5, p_deter: float = 0.25,
+                       p_jitter: float = 0.25) -> jnp.ndarray:
+    """On-device ABINet augmentation for a whole batch in one program.
+
+    Distribution-matched to the reference recipe
+    (dataset/dataset_lmdb.py:40-42): CVGeometry(degrees=45, scale=(0.5,2),
+    shear=(45,15), distortion=0.5, p=0.5) choosing one of
+    rotation/affine/perspective per sample; CVDeterioration(var=20,
+    degrees=6, factor=4, p=0.25) = gaussian noise + motion blur + pyramid
+    rescale; CVColorJitter(0.5/0.5/0.5/0.1, p=0.25).  Images are
+    normalized [-1, 1] NHWC floats.  Parity is distributional (op
+    families + magnitude ranges), like `device_augment`."""
+    b, h, w, _ = images.shape
+    keys = jax.random.split(key, 14)
+    x = images
+
+    # --- geometry: per-sample one of rotation / affine / perspective --------
+    rot_h = _center_to_corner(_affine_to_h(
+        _rand_abi_affine_mats(keys[0], b, h, w, rotation_only=True)), h, w)
+    aff_h = _center_to_corner(_affine_to_h(
+        _rand_abi_affine_mats(keys[1], b, h, w)), h, w)
+    per_h = _rand_perspective_h(keys[2], b, h, w)
+    t = jax.random.uniform(keys[3], (b, 1, 1))
+    h_mats = jnp.where(t < 1 / 3, rot_h, jnp.where(t < 2 / 3, aff_h, per_h))
+    geom_gate = jax.random.bernoulli(keys[4], p_geom, (b, 1, 1, 1))
+    x = jnp.where(geom_gate, batched_projective_warp(x, h_mats), x)
+
+    # --- deterioration: noise + motion blur + pyramid rescale ---------------
+    var = jnp.abs(jax.random.normal(keys[5], (b, 1, 1, 1))) * 20.0
+    sigma = jnp.sqrt(jnp.maximum(var, 1.0)) / 127.5  # pixel-var -> [-1,1] std
+    noisy = x + jax.random.normal(keys[6], x.shape) * sigma
+    blurred = _motion_blur(noisy, keys[7])
+    f = jax.random.uniform(keys[8], (b, 1, 1, 1), minval=0.0, maxval=4.0)
+    # base pyramid is 4x the 32x128 input: factors 0-2 stay >= native res
+    rescaled = jnp.where(f < 2.5, blurred,
+                         jnp.where(f < 3.5, _down_up(blurred, 2),
+                                   _down_up(blurred, 4)))
+    deter_gate = jax.random.bernoulli(keys[9], p_deter, (b, 1, 1, 1))
+    x = jnp.where(deter_gate, rescaled, x)
+
+    # --- color jitter incl. hue ---------------------------------------------
+    u = (x + 1.0) * 0.5
+    bright = jax.random.uniform(keys[10], (b, 1, 1, 1), minval=0.5, maxval=1.5)
+    contrast = jax.random.uniform(keys[11], (b, 1, 1, 1), minval=0.5, maxval=1.5)
+    sat = jax.random.uniform(keys[12], (b, 1, 1, 1), minval=0.5, maxval=1.5)
+    k_hue, k_gate = jax.random.split(keys[13])
+    hue = jax.random.uniform(k_hue, (b,), minval=-0.1, maxval=0.1) * 2 * jnp.pi
+    v = u * bright
+    v = (v - jnp.mean(v, axis=(1, 2, 3), keepdims=True)) * contrast \
+        + jnp.mean(v, axis=(1, 2, 3), keepdims=True)
+    gray = jnp.mean(v, axis=-1, keepdims=True)
+    v = gray + (v - gray) * sat
+    v = _rgb_hue_rotate(jnp.clip(v, 0.0, 1.0), hue)
+    jit_gate = jax.random.bernoulli(k_gate, p_jitter, (b, 1, 1, 1))
+    x = jnp.where(jit_gate, v * 2.0 - 1.0, x)
+
+    return jnp.clip(x, -1.0, 1.0).astype(images.dtype)
 
 
 def device_augment(key, images: jnp.ndarray,

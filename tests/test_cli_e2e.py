@@ -322,3 +322,20 @@ def test_attn_cli_train_and_eval(fixture_lmdb, tmp_path):
         output_dir=out, eval_freq=0, dtype="float32",
     ))
     assert os.path.isdir(os.path.join(out, "checkpoint-0"))
+
+
+def test_finetune_cli_device_abi_aug(fixture_lmdb, tmp_path):
+    """--device_abi_aug: host pipeline skips cv2 ABI aug; a separately
+    jitted batched program augments on device before the train step."""
+    from dig_tpu.cli.run_finetune import main
+    from dig_tpu.config import FinetuneConfig
+
+    out = str(tmp_path / "dev_abi")
+    main(FinetuneConfig(
+        model="vit_micro_patch4_32x128", decoder_name="small_tf_decoder",
+        data_path=[fixture_lmdb], eval_data_path=fixture_lmdb,
+        batch_size=1, epochs=1, warmup_epochs=0, num_workers=2,
+        output_dir=out, eval_freq=0, dtype="float32",
+        use_abi_aug=True, device_abi_aug=True,
+    ))
+    assert os.path.isdir(os.path.join(out, "checkpoint-0"))

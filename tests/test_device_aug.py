@@ -66,3 +66,60 @@ def test_device_aug_pretrain_step():
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["loss_contrast"]))
+
+
+def test_projective_identity_and_translation():
+    from dig_tpu.data.device_aug import batched_projective_warp
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 8, 16, 3)), jnp.float32)
+    eye = jnp.tile(jnp.eye(3)[None], (2, 1, 1))
+    out = batched_projective_warp(img, eye)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+    # pure +2px x-translation of the SOURCE lookup: out[x] = img[x+2]
+    t = eye.at[:, 0, 2].set(2.0)
+    out = np.asarray(batched_projective_warp(img, t))
+    np.testing.assert_allclose(out[:, :, :-2], np.asarray(img)[:, :, 2:], atol=1e-5)
+
+
+def test_solve_homography_roundtrip():
+    """DLT solve maps the source quad exactly onto the destination quad."""
+    from dig_tpu.data.device_aug import _solve_homography
+
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(
+        [[[0, 0], [127, 0], [127, 31], [0, 31]]], jnp.float32)
+    dst = src + jnp.asarray(rng.uniform(-5, 5, size=(1, 4, 2)), jnp.float32)
+    h = _solve_homography(src, dst)
+    pts = jnp.concatenate([src, jnp.ones((1, 4, 1))], -1)
+    mapped = jnp.einsum("bij,bnj->bni", h, pts)
+    mapped = mapped[..., :2] / mapped[..., 2:3]
+    np.testing.assert_allclose(np.asarray(mapped), np.asarray(dst), atol=1e-3)
+
+
+def test_device_abi_augment_shapes_range_determinism():
+    from dig_tpu.data.device_aug import device_abi_augment
+
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(-1, 1, size=(8, 32, 128, 3)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    out = device_abi_augment(key, img)
+    assert out.shape == img.shape and out.dtype == img.dtype
+    assert float(jnp.max(out)) <= 1.0 and float(jnp.min(out)) >= -1.0
+    # deterministic per key; different keys differ
+    out2 = device_abi_augment(key, img)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = device_abi_augment(jax.random.PRNGKey(1), img)
+    assert not np.allclose(np.asarray(out), np.asarray(out3))
+    # with a large batch, SOME samples must be augmented
+    assert not np.allclose(np.asarray(out), np.asarray(img))
+
+
+def test_device_abi_augment_gates_off_identity():
+    from dig_tpu.data.device_aug import device_abi_augment
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(-0.9, 0.9, size=(4, 32, 128, 3)), jnp.float32)
+    out = device_abi_augment(jax.random.PRNGKey(0), img,
+                             p_geom=0.0, p_deter=0.0, p_jitter=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
