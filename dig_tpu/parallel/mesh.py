@@ -57,9 +57,28 @@ def replicate(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host-global batch with the leading axis over (data, fsdp)."""
+    """Place a host-local batch with the leading axis over (data, fsdp).
+
+    Single process: the host batch IS the global batch — a plain
+    `device_put` splits it over local devices.  Multi-process (pods /
+    multi-host CPU): each host holds only its loader shard, so the
+    global array is assembled from per-process local data
+    (`jax.make_array_from_process_local_data`); global batch =
+    local batch × process_count (the ShardedSampler gives every host an
+    equal-size shard).  Replaces the reference's implicit DDP convention
+    where each rank's batch never leaves its GPU (SURVEY.md §2.8).
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 # Structured tensor-parallel rules: a leaf matches when its key path ENDS

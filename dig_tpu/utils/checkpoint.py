@@ -111,8 +111,19 @@ def save_checkpoint(output_dir: str, tag, state, extra: Optional[dict] = None):
     Uses the framework's fast native format (single batched device fetch,
     single .npz) — measured ~100x faster than per-array checkpointing
     through a remote TPU tunnel.  `output_dir` may be a remote URI
-    (``gs://bucket/run`` on pods); files then go through fsspec."""
+    (``gs://bucket/run`` on pods); files then go through fsspec.
+
+    Multi-process: only host 0 writes (state is replicated; concurrent
+    writers to a shared filesystem would race — ≙ the reference's
+    `utils.save_model` rank gate, utils/utils.py:479-490)."""
     import json
+
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        if _is_remote(output_dir):
+            return _join(output_dir, f"checkpoint-{tag}")
+        return os.path.abspath(os.path.join(output_dir, f"checkpoint-{tag}"))
 
     if _is_remote(output_dir):
         path = _join(output_dir, f"checkpoint-{tag}")
