@@ -274,10 +274,76 @@ def _add_field_args(parser: argparse.ArgumentParser, cfg) -> None:
             parser.add_argument(name, type=str, default=default)
 
 
+# Reference flag spellings that map onto a differently-named field here.
+# Each entry: ref flag -> fn(value_or_None) -> list of replacement argv
+# tokens (the fn may inspect the value the reference flag consumed).
+# Only applied when the TARGET field exists on the config class, so the
+# same table serves the pretrain, finetune and predict CLIs.
+_TRUTHY = ("1", "true", "yes", "on")
+
+
+def _map_decoder_type(val):
+    # run_class_finetuning.py:350-355: tf_decoder -> RecModel,
+    # attention -> AttnRecModel
+    kind = {"tf_decoder": "rec", "attention": "attn"}.get(val or "")
+    return ["--model_kind", kind] if kind else []
+
+
+_REF_FLAG_ALIASES = {
+    # finetune / predict (run_class_finetuning.py)
+    "--use_seq_cls_token": ("model_kind", lambda v: (
+        ["--model_kind", "seq_cls"]
+        if (v or "").lower() in _TRUTHY else []), True),
+    "--decoder_type": ("model_kind", _map_decoder_type, True),
+    "--use_cls": ("use_mean_pooling",  # store_false dest=use_mean_pooling
+                  lambda v: ["--no_use_mean_pooling"], False),
+    # pretrain (run_mae_pretraining_moco.py:186-187, store_true)
+    "--moco_m_cos": ("use_moco_m_cos",
+                     lambda v: ["--use_moco_m_cos"], False),
+}
+
+
+def _translate_reference_flags(argv, cls):
+    """Rewrite live reference-CLI flag spellings into this config's flags
+    (in place in the argv stream, so later explicit flags still win)."""
+    fields = {f.name for f in dataclasses.fields(cls())}
+    out, translated, i = [], [], 0
+    while i < len(argv):
+        tok = argv[i]
+        name, eq, inline = tok.partition("=")
+        rule = _REF_FLAG_ALIASES.get(name)
+        if rule is None:
+            out.append(tok)
+            i += 1
+            continue
+        target, fn, takes_value = rule
+        val = inline if eq else None
+        if takes_value and val is None and i + 1 < len(argv) \
+                and not argv[i + 1].startswith("--"):
+            val = argv[i + 1]
+            i += 1
+        i += 1
+        if target not in fields:
+            out.append(tok)  # not this CLI's flag; leave for the warning
+            continue
+        repl = fn(val)
+        out.extend(repl)
+        translated.append(f"{name} -> {' '.join(repl) or '(default)'}")
+    if translated:
+        print(f"[config] reference flags translated: {translated}")
+    return out
+
+
 def parse_config(cls, argv=None):
     """Parse CLI args into a config dataclass; unknown flags are accepted
-    with a warning (the reference CLIs carry many dead research flags)."""
+    with a warning (the reference CLIs carry many dead research flags),
+    and live reference spellings are translated onto their equivalent
+    fields here (see _REF_FLAG_ALIASES)."""
+    import sys as _sys
+
     cfg = cls()
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    argv = _translate_reference_flags(argv, cls)
     parser = argparse.ArgumentParser(cls.__name__, allow_abbrev=False)
     _add_field_args(parser, cfg)
     args, unknown = parser.parse_known_args(argv)

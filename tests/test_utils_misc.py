@@ -233,3 +233,33 @@ def test_prune_checkpoints(tmp_path):
                     "checkpoint-best", "tb"]
     # keep >= count is a no-op
     assert prune_checkpoints(base, 5) == []
+
+
+def test_reference_flag_translation():
+    """Verbatim reference CLI spellings map onto the equivalent fields
+    (run_class_finetuning.py:350-355 decoder_type branch, :75
+    use_seq_cls_token, :171 use_cls -> use_mean_pooling=False;
+    run_mae_pretraining_moco.py:186 moco_m_cos store_true)."""
+    from dig_tpu.config import (FinetuneConfig, PretrainConfig,
+                                parse_config)
+
+    cfg = parse_config(FinetuneConfig, ["--decoder_type", "attention"])
+    assert cfg.model_kind == "attn"
+    cfg = parse_config(FinetuneConfig, ["--decoder_type=tf_decoder"])
+    assert cfg.model_kind == "rec"
+    cfg = parse_config(FinetuneConfig, ["--use_seq_cls_token", "True"])
+    assert cfg.model_kind == "seq_cls"
+    cfg = parse_config(FinetuneConfig, ["--use_seq_cls_token", "False"])
+    assert cfg.model_kind == "rec"
+    cfg = parse_config(FinetuneConfig, ["--use_cls"])
+    assert cfg.use_mean_pooling is False
+    # a later explicit flag still wins over the translated one
+    cfg = parse_config(FinetuneConfig,
+                       ["--decoder_type", "attention", "--model_kind", "rec"])
+    assert cfg.model_kind == "rec"
+    # pretrain: --moco_m_cos is the reference's store_true spelling
+    cfg = parse_config(PretrainConfig, ["--moco_m_cos"])
+    assert cfg.use_moco_m_cos is True
+    # finetune-only aliases don't fire (or break) on the pretrain config
+    cfg = parse_config(PretrainConfig, ["--decoder_type", "attention"])
+    assert not hasattr(cfg, "model_kind")
