@@ -30,7 +30,7 @@ from dig_tpu.metrics.text import accuracy as word_accuracy
 from dig_tpu.metrics.text import recognition_f_measure
 from dig_tpu.models.rec_model import build_rec_model
 from dig_tpu.optim import make_optimizer
-from dig_tpu.parallel.mesh import create_mesh, shard_batch
+from dig_tpu.parallel.mesh import create_mesh, host_local_rows, shard_batch
 from dig_tpu.train.finetune import init_finetune_state, make_eval_step, make_finetune_step
 from dig_tpu.train.state import TrainState
 from dig_tpu.utils.charset import build_charset
@@ -102,12 +102,14 @@ def load_finetune_init(cfg: FinetuneConfig, state: TrainState,
 
 
 def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
-                       accuracy_fn=None):
+                       accuracy_fn=None, mesh=None):
     """Greedy/beam decode over one benchmark LMDB; pads the last partial
     batch to keep shapes static.  With --dist_eval the set is sharded
     across hosts and metrics are reduced cross-host; without it every
     host evaluates the full set (the reference's DistributedSampler vs
-    SequentialSampler split, run_class_finetuning.py:298-306)."""
+    SequentialSampler split, run_class_finetuning.py:298-306).  Multi-
+    process: batches go through `shard_batch` (global-array assembly)
+    and each host scores only the rows it contributed."""
     ds = build_dataset(data_path, is_train=False, voc_type=cfg.voc_type,
                        max_len=cfg.max_len, img_height=cfg.input_h,
                        img_width=cfg.input_w)
@@ -127,10 +129,14 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
             images = np.concatenate([images, np.zeros((pad, *images.shape[1:]), images.dtype)])
             targets = np.concatenate([targets, np.zeros((pad, targets.shape[1]), targets.dtype)])
             lens = np.concatenate([lens, np.ones((pad,), lens.dtype)])
-        batch = {"images": jnp.asarray(images), "targets": jnp.asarray(targets),
-                 "lengths": jnp.asarray(lens)}
+        batch = {"images": images, "targets": targets,
+                 "lengths": lens}
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        else:
+            batch = jax.tree_util.tree_map(jnp.asarray, batch)
         ids, loss = eval_fn(params, batch)
-        ids = np.asarray(ids)[:n]
+        ids = host_local_rows(ids)[:n]
         acc = (accuracy_fn or word_accuracy)(ids, targets[:n], charset)
         f = recognition_f_measure(ids, targets[:n], charset)
         n_correct += acc * n
@@ -146,7 +152,10 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
         sums = multihost_utils.process_allgather(
             np.array([n_correct, n_total, f_sum, loss_sum])
         )
-        n_correct, n_total, f_sum, loss_sum = sums.sum(axis=0)
+        # plain python floats: np.float32 scalars would later poison the
+        # json.dump of eval results / checkpoint meta
+        n_correct, n_total, f_sum, loss_sum = (
+            float(x) for x in sums.sum(axis=0))
     acc = n_correct / max(n_total, 1)
     print(f"* {data_path}: {int(n_total)} images, Acc {acc:.4f} "
           f"loss {loss_sum / max(n_total, 1):.4f} "
@@ -217,7 +226,7 @@ def main(cfg: FinetuneConfig):
             state = state.replace(params=payload["params"])
         paths = [p for p in [cfg.eval_data_path] + list(cfg.other_test_data_folders) if p]
         results = [
-            dict(path=p, **evaluate_benchmark(cfg, model, state.params, p, eval_fn, charset, accuracy_fn))
+            dict(path=p, **evaluate_benchmark(cfg, model, state.params, p, eval_fn, charset, accuracy_fn, mesh=mesh))
             for p in paths
         ]
         total = sum(r["n"] for r in results)
@@ -362,17 +371,17 @@ def main(cfg: FinetuneConfig):
                     from dig_tpu.metrics.text import ctc_accuracy
 
                     host_metrics["class_acc"] = ctc_accuracy(
-                        np.asarray(pred_ids), targets, charset)
+                        host_local_rows(pred_ids), targets, charset)
                 else:
                     host_metrics["class_acc"] = word_accuracy(
-                        np.asarray(pred_ids), targets, charset)
+                        host_local_rows(pred_ids), targets, charset)
                 logger.update(**host_metrics)
                 tb.update(head="loss", step=int(state.step), **host_metrics)
             if (cfg.eval_freq and it >= 1 and it % cfg.eval_freq == 0
                     and cfg.eval_data_path):
                 stats = evaluate_benchmark(cfg, model, state.params,
                                            cfg.eval_data_path, eval_fn, charset,
-                                           accuracy_fn)
+                                           accuracy_fn, mesh=mesh)
                 if stats["acc"] > max_accuracy:
                     max_accuracy = stats["acc"]
                     if cfg.output_dir and cfg.save_ckpt:
@@ -382,7 +391,8 @@ def main(cfg: FinetuneConfig):
         stats = {}
         if cfg.eval_data_path:
             stats = evaluate_benchmark(cfg, model, state.params,
-                                       cfg.eval_data_path, eval_fn, charset)
+                                       cfg.eval_data_path, eval_fn, charset,
+                                       mesh=mesh)
             if stats["acc"] > max_accuracy:
                 max_accuracy = stats["acc"]
                 if cfg.output_dir and cfg.save_ckpt:

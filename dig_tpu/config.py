@@ -250,6 +250,9 @@ class PredictConfig:
     dtype: str = "bfloat16"
 
 
+_TRUTHY = ("1", "true", "yes", "on")
+
+
 def _add_field_args(parser: argparse.ArgumentParser, cfg) -> None:
     for f in dataclasses.fields(cfg):
         name = "--" + f.name
@@ -263,7 +266,7 @@ def _add_field_args(parser: argparse.ArgumentParser, cfg) -> None:
         elif "bool" in str(f.type):  # tri-state Optional[bool] (None = auto)
             parser.add_argument(
                 name, default=default,
-                type=lambda s: s.lower() in ("1", "true", "yes", "on"))
+                type=lambda s: s.lower() in _TRUTHY)
         elif isinstance(default, (list, tuple)) or "List" in str(f.type) or "Tuple" in str(f.type):
             parser.add_argument(name, nargs="*", default=default)
         elif isinstance(default, float) or default is None:
@@ -279,14 +282,15 @@ def _add_field_args(parser: argparse.ArgumentParser, cfg) -> None:
 # tokens (the fn may inspect the value the reference flag consumed).
 # Only applied when the TARGET field exists on the config class, so the
 # same table serves the pretrain, finetune and predict CLIs.
-_TRUTHY = ("1", "true", "yes", "on")
-
-
 def _map_decoder_type(val):
     # run_class_finetuning.py:350-355: tf_decoder -> RecModel,
-    # attention -> AttnRecModel
+    # attention -> AttnRecModel, anything else -> NotImplementedError
     kind = {"tf_decoder": "rec", "attention": "attn"}.get(val or "")
-    return ["--model_kind", kind] if kind else []
+    if not kind:
+        raise ValueError(
+            f"--decoder_type {val!r}: the reference supports tf_decoder "
+            "or attention (run_class_finetuning.py:350-355)")
+    return ["--model_kind", kind]
 
 
 _REF_FLAG_ALIASES = {
@@ -324,7 +328,11 @@ def _translate_reference_flags(argv, cls):
             i += 1
         i += 1
         if target not in fields:
-            out.append(tok)  # not this CLI's flag; leave for the warning
+            # not this CLI's flag; re-emit flag AND consumed value so the
+            # unknown-flags warning reports what was actually passed
+            out.append(tok)
+            if val is not None and not eq:
+                out.append(val)
             continue
         repl = fn(val)
         out.extend(repl)

@@ -81,6 +81,29 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def host_local_rows(arr):
+    """This process's rows of a batch-sharded global array, in the order
+    the host's local batch was supplied to `shard_batch`.
+
+    Single process (or a plain numpy input): the whole array.  Multi-
+    process: `np.asarray` on the global array would raise "spans
+    non-addressable devices", so instead concatenate the addressable
+    shards by ascending global batch offset (deduplicating replicas from
+    mesh axes the batch is not sharded over, e.g. ``tensor``) — under
+    `jax.make_array_from_process_local_data` that reproduces exactly the
+    rows this host contributed.  ≙ the reference's per-rank view of its
+    own DDP batch."""
+    if isinstance(arr, np.ndarray) or jax.process_count() == 1:
+        return np.asarray(arr)
+    by_offset = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_offset:
+            by_offset[start] = s.data
+    return np.concatenate(
+        [np.asarray(by_offset[k]) for k in sorted(by_offset)])
+
+
 # Structured tensor-parallel rules: a leaf matches when its key path ENDS
 # WITH one of these component tuples (exact dict keys, not substrings).
 # Column = output dim sharded (Megatron up-projection); row = input dim

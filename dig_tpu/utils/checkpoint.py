@@ -120,15 +120,12 @@ def save_checkpoint(output_dir: str, tag, state, extra: Optional[dict] = None):
 
     import jax
 
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        if _is_remote(output_dir):
-            return _join(output_dir, f"checkpoint-{tag}")
-        return os.path.abspath(os.path.join(output_dir, f"checkpoint-{tag}"))
-
     if _is_remote(output_dir):
         path = _join(output_dir, f"checkpoint-{tag}")
     else:
         path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{tag}"))
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return path
     payload = {
         "params": fast_device_get(state.params),
         "opt_state": fast_device_get(state.opt_state),
@@ -201,8 +198,13 @@ def prune_checkpoints(output_dir: str, keep: int):
     `keep` (0/negative = keep all, the reference behavior — it never
     deletes).  Non-numeric tags (``checkpoint-best``, mid-epoch
     ``checkpoint-3_100``) are never touched.  Remote URIs pruned through
-    fsspec."""
+    fsspec.  Multi-process: host 0 only (same gate as save_checkpoint —
+    all hosts racing to delete the same dirs on shared storage)."""
+    import jax
+
     if keep <= 0:
+        return []
+    if jax.process_count() > 1 and jax.process_index() != 0:
         return []
     if _is_remote(output_dir):
         import fsspec
@@ -213,7 +215,12 @@ def prune_checkpoints(output_dir: str, keep: int):
                      for p in fs.ls(root, detail=False)]
         except FileNotFoundError:
             return []
-        rm = lambda name: fs.rm(f"{root}/{name}", recursive=True)  # noqa: E731
+
+        def rm(name):
+            try:
+                fs.rm(f"{root}/{name}", recursive=True)
+            except FileNotFoundError:
+                pass
     elif os.path.isdir(output_dir):
         names = os.listdir(output_dir)
         import shutil

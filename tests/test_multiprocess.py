@@ -67,6 +67,18 @@ _BOOT = (
     "main(parse_config(PretrainConfig))"
 )
 
+# The finetune CLI has no separate multihost launcher (one main serves
+# both); rendezvous via the same env conventions before calling it.
+_BOOT_FT = (
+    "import jax; jax.config.update('jax_platforms', 'cpu'); "
+    "from dig_tpu.parallel.dist import init_distributed_mode; "
+    "from dig_tpu.utils.logging import setup_print_for_distributed; "
+    "init_distributed_mode(); setup_print_for_distributed(); "
+    "from dig_tpu.config import FinetuneConfig, parse_config; "
+    "from dig_tpu.cli.run_finetune import main; "
+    "main(parse_config(FinetuneConfig))"
+)
+
 
 def test_two_process_pretrain(tiny_lmdb, tmp_path):
     port = _free_port()
@@ -120,5 +132,69 @@ def test_two_process_pretrain(tiny_lmdb, tmp_path):
     assert "Averaged stats" not in outputs[1]
     # rank 0 (and only rank 0) wrote the checkpoint
     assert os.path.isdir(os.path.join(out, "checkpoint-0"))
-    # training produced a finite loss on the shared global batch
-    assert "loss" in outputs[0]
+    # training produced a finite loss on the shared global batch: parse
+    # the step log's "loss: <cur> (<avg>)" meter, not the config dump
+    import re
+
+    losses = re.findall(r"\bloss: ([0-9.]+) \(", outputs[0])
+    assert losses, outputs[0][-2000:]
+    assert all(np.isfinite(float(x)) for x in losses)
+
+
+def test_two_process_finetune_with_dist_eval(tiny_lmdb, tmp_path):
+    """2-process finetune: covers the host-local pred_ids word-accuracy
+    metric in the train loop, shard_batch-assembled eval batches, and
+    the --dist_eval cross-host metric reduction (the paths a pretrain
+    run never touches)."""
+    port = _free_port()
+    out = str(tmp_path / "out")
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            MASTER_ADDR="127.0.0.1",
+            MASTER_PORT=str(port),
+            WORLD_SIZE="2",
+            RANK=str(rank),
+            JAX_COMPILATION_CACHE_DIR="/tmp/jaxcache_cpu_mp",
+        )
+        env.pop("JAX_NUM_CPU_DEVICES", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _BOOT_FT,
+             "--model", "vit_micro_patch4_32x128",
+             "--decoder_name", "small_tf_decoder",
+             "--data_path", tiny_lmdb,
+             "--eval_data_path", tiny_lmdb,
+             "--dist_eval",
+             "--batch_size", "1",            # per device → global batch 4
+             "--epochs", "1",
+             "--warmup_epochs", "0", "--num_workers", "0",
+             "--output_dir", out,
+             "--save_ckpt_freq", "1", "--eval_freq", "0",
+             "--dtype", "float32"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outputs = []
+    for rank, p in enumerate(procs):
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout)
+        assert p.returncode == 0, f"rank {rank} failed:\n{stdout[-4000:]}"
+
+    # the logged step metrics include the host-local word accuracy
+    assert "class_acc" in outputs[0]
+    # dist_eval reduced across hosts: the printed total is the FULL set
+    # even though each host decoded only its 8-image shard
+    import re
+
+    m = re.search(r"\* \S+: (\d+) images, Acc", outputs[0])
+    assert m, outputs[0][-2000:]
+    assert int(m.group(1)) == 16
+    assert os.path.isdir(os.path.join(out, "checkpoint-0"))
+    assert "Averaged stats" not in outputs[1]
