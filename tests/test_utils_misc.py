@@ -263,3 +263,31 @@ def test_reference_flag_translation():
     # finetune-only aliases don't fire (or break) on the pretrain config
     cfg = parse_config(PretrainConfig, ["--decoder_type", "attention"])
     assert not hasattr(cfg, "model_kind")
+
+
+def test_nonzero_rank_gates(tmp_path, monkeypatch):
+    """On a non-zero host, save_checkpoint returns the (unwritten) path
+    and prune_checkpoints is a no-op — only host 0 touches shared storage
+    (≙ the reference's save_on_master gate, utils/utils.py:363-373)."""
+    import os
+
+    import jax
+    import optax
+    import jax.numpy as jnp
+
+    from dig_tpu.train.state import TrainState
+    from dig_tpu.utils import checkpoint as ckpt
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+
+    state = TrainState.create({"w": jnp.zeros((2,))}, optax.sgd(0.1))
+    path = ckpt.save_checkpoint(str(tmp_path), 5, state, extra={})
+    assert path == os.path.join(str(tmp_path), "checkpoint-5")
+    assert not os.path.exists(path)
+
+    for name in ["checkpoint-0", "checkpoint-1", "checkpoint-2"]:
+        os.makedirs(os.path.join(str(tmp_path), name))
+    assert ckpt.prune_checkpoints(str(tmp_path), 1) == []
+    assert sorted(os.listdir(tmp_path)) == [
+        "checkpoint-0", "checkpoint-1", "checkpoint-2"]
