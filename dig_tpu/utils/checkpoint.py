@@ -242,8 +242,28 @@ def prune_checkpoints(output_dir: str, keep: int):
 
 def auto_resume(output_dir: str, state):
     """Restore the latest checkpoint into `state` if one exists; returns
-    (state, start_epoch_extra_dict)."""
+    (state, start_epoch_extra_dict).
+
+    Multi-process: every host scans `output_dir` itself, which is only
+    consistent on shared storage (gs://, NFS — the reference makes the
+    same assumption, utils/utils.py:581-651).  A cross-host check fails
+    fast when hosts resolve different checkpoints — silently diverging
+    (one host resumes epoch N, another starts fresh) would deadlock the
+    first collective or corrupt training."""
     path = latest_checkpoint(output_dir)
+    if jax.process_count() > 1:
+        import hashlib
+
+        from jax.experimental import multihost_utils
+
+        digest = hashlib.sha256(f"{path or ''}".encode()).digest()
+        tags = np.asarray(multihost_utils.process_allgather(
+            np.frombuffer(digest, dtype=np.uint8)))
+        if len({row.tobytes() for row in tags.reshape(-1, len(digest))}) != 1:
+            raise RuntimeError(
+                f"auto-resume: hosts disagree on the latest checkpoint "
+                f"(this host resolved {path!r}) — output_dir must be "
+                f"shared storage (gs://...) on multi-host runs")
     if path is None:
         return state, None
     try:

@@ -291,3 +291,33 @@ def test_nonzero_rank_gates(tmp_path, monkeypatch):
     assert ckpt.prune_checkpoints(str(tmp_path), 1) == []
     assert sorted(os.listdir(tmp_path)) == [
         "checkpoint-0", "checkpoint-1", "checkpoint-2"]
+
+
+def test_auto_resume_cross_host_guard(tmp_path, monkeypatch):
+    """auto_resume fails fast when hosts resolve different latest
+    checkpoints (non-shared output_dir) instead of silently diverging."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from dig_tpu.utils import checkpoint as ckpt
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    # agreement (both hosts resolved the same — here: no checkpoint at
+    # all) proceeds to the normal empty-dir return
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda x: np.stack([x, x]))
+    assert ckpt.auto_resume(str(tmp_path), state=object())[1] is None
+
+    # disagreement (rows differ) must raise, naming the local path
+    def _diverged(x):
+        other = np.asarray(x).copy()
+        other[0] ^= 0xFF
+        return np.stack([x, other])
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", _diverged)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="hosts disagree"):
+        ckpt.auto_resume(str(tmp_path), state=object())
