@@ -252,9 +252,11 @@ def main(cfg: FinetuneConfig):
         rng=rng,
     )
     aug_fn = None
-    if cfg.device_abi_aug:
+    if cfg.device_abi_aug and cfg.use_abi_aug:
         # ABI augmentation as its own jitted device program (frees the
-        # cv2 host workers; see data/device_aug.device_abi_augment)
+        # cv2 host workers; see data/device_aug.device_abi_augment).
+        # --device_abi_aug picks WHERE the aug runs; --no_use_abi_aug
+        # still turns it off entirely
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from dig_tpu.data.device_aug import device_abi_augment
@@ -352,10 +354,11 @@ def main(cfg: FinetuneConfig):
                 batch["images"] = aug_fn(asub, batch["images"])
             step_rng, sub = jax.random.split(step_rng)
             state, metrics, pred_ids = step_fn(state, batch, sub)
-            if guard.should_stop:
+            if guard.sync_should_stop():
                 # preemption: flush at the step boundary, exit clean.
                 # extra epoch-1 => auto-resume redoes this epoch's data
                 # pass with the (preserved) mid-epoch optimizer state.
+                # sync_: all hosts agree even on a single-host SIGTERM.
                 if cfg.output_dir and cfg.save_ckpt:
                     save_checkpoint(cfg.output_dir, epoch, state,
                                     extra={"epoch": epoch - 1})

@@ -45,21 +45,27 @@ def collect_image_paths(specs) -> list:
     """Expand files / directories (recursed) / globs into a deduplicated
     list of image paths; deterministic order (specs in given order, walks
     and globs sorted) so output TSVs are reproducible across machines."""
+    def walk(d):
+        for root, dirs, files in os.walk(d):
+            dirs.sort()  # os.walk order is filesystem-dependent
+            yield from (os.path.join(root, f) for f in sorted(files)
+                        if f.lower().endswith(IMAGE_EXTS))
+
     out = []
     for spec in specs:
         if os.path.isdir(spec):
-            for root, dirs, files in os.walk(spec):
-                dirs.sort()  # os.walk order is filesystem-dependent
-                out.extend(os.path.join(root, f) for f in sorted(files)
-                           if f.lower().endswith(IMAGE_EXTS))
+            out.extend(walk(spec))
         elif os.path.isfile(spec):
             out.append(spec)
         else:
             matched = sorted(glob.glob(spec, recursive=True))
             if not matched:
                 print(f"[predict] no images match {spec!r}", file=sys.stderr)
-            out.extend(p for p in matched
-                       if p.lower().endswith(IMAGE_EXTS) or os.path.isfile(p))
+            for p in matched:
+                if os.path.isdir(p):  # e.g. `crops/*` hitting subdirs:
+                    out.extend(walk(p))  # recurse, same as a directory spec
+                elif p.lower().endswith(IMAGE_EXTS) or os.path.isfile(p):
+                    out.append(p)
     return list(dict.fromkeys(out))
 
 
@@ -99,35 +105,47 @@ def iter_file_batches(paths, batch_size, h, w, num_workers: int = 4):
             yield names, np.stack(imgs)
 
 
-def iter_lmdb_batches(data_paths, batch_size, cfg):
+def iter_lmdb_batches(data_paths, batch_size, cfg, num_workers: int = 4):
     """Yield (names, images) batches from LMDBs in the reference schema
     (``image-%09d`` / ``num-samples``).  Records are read DIRECTLY by
     index — labels are never touched (unlabeled LMDBs work) and a
     corrupt/missing record is skipped under its own name, never
     substituted by a neighbor (unlike the training dataset's
     skip-to-next-index behavior, dataset/dataset_lmdb.py:173-187, which
-    would misattribute predictions here)."""
+    would misattribute predictions here).
+
+    Record fetches stay on the main thread (the lmdb-pkg backend shares
+    one txn, which is not thread-safe); the expensive cv2 decode+resize
+    is chunk-mapped over a thread pool like `iter_file_batches`, so the
+    device never idles on host decode."""
     from dig_tpu.data.lmdb_store import LmdbReader
 
-    for path in data_paths:
-        reader = LmdbReader(path)
-        n = int(reader.get(b"num-samples"))
-        names, imgs = [], []
-        for i in range(1, n + 1):
-            name = f"{path}#{i}"
-            buf = reader.get(b"image-%09d" % i)
-            img = decode_image(buf) if buf is not None else None
-            if img is None:
-                print(f"[predict] skipping unreadable record {name!r}",
-                      file=sys.stderr)
-                continue
-            names.append(name)
-            imgs.append(resize_normalize(img, cfg.input_h, cfg.input_w))
-            if len(imgs) == batch_size:
+    def prep(buf):
+        img = decode_image(buf) if buf is not None else None
+        return None if img is None else resize_normalize(
+            img, cfg.input_h, cfg.input_w)
+
+    chunk = max(batch_size * 8, 64)
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        for path in data_paths:
+            reader = LmdbReader(path)
+            n = int(reader.get(b"num-samples"))
+            names, imgs = [], []
+            for start in range(1, n + 1, chunk):
+                idxs = range(start, min(start + chunk, n + 1))
+                bufs = [reader.get(b"image-%09d" % i) for i in idxs]
+                for i, img in zip(idxs, pool.map(prep, bufs)):
+                    if img is None:
+                        print(f"[predict] skipping unreadable record "
+                              f"'{path}#{i}'", file=sys.stderr)
+                        continue
+                    names.append(f"{path}#{i}")
+                    imgs.append(img)
+                    if len(imgs) == batch_size:
+                        yield names, np.stack(imgs)
+                        names, imgs = [], []
+            if imgs:
                 yield names, np.stack(imgs)
-                names, imgs = [], []
-        if imgs:
-            yield names, np.stack(imgs)
 
 
 def make_predict_fn(model, cfg, eos: int):
@@ -222,7 +240,9 @@ def main(cfg: PredictConfig):
     from dig_tpu.cli.run_finetune import build_model
 
     model = build_model(cfg)
-    params = load_params(cfg, model)
+    # device_put once: load_params returns host numpy; passing it into the
+    # jitted fn would re-upload the full model every batch
+    params = jax.device_put(load_params(cfg, model))
     predict_fn = make_predict_fn(model, cfg, eos=charset.eos_id)
 
     if cfg.model_kind == "ctc":
@@ -238,7 +258,8 @@ def main(cfg: PredictConfig):
                 collect_image_paths(cfg.images), cfg.batch_size,
                 cfg.input_h, cfg.input_w, cfg.num_workers)
         if cfg.data_path:
-            yield from iter_lmdb_batches(cfg.data_path, cfg.batch_size, cfg)
+            yield from iter_lmdb_batches(cfg.data_path, cfg.batch_size, cfg,
+                                         cfg.num_workers)
 
     sink = open(cfg.output, "w") if cfg.output else sys.stdout
     n = 0

@@ -176,9 +176,12 @@ def main(cfg: PretrainConfig):
                 step_rng, vsub = jax.random.split(step_rng)
                 batch = view_fn(vsub, batch["images"])
             state, metrics = step_fn(state, batch, sub)
-            if guard.should_stop:
+            if guard.sync_should_stop():
                 # preemption: flush at the step boundary, exit clean
-                # (extra epoch-1 => auto-resume redoes this epoch)
+                # (extra epoch-1 => auto-resume redoes this epoch).
+                # sync_: all hosts agree to stop even when the SIGTERM
+                # reached only one, so the collective save below and the
+                # rank-0 write gate line up
                 if cfg.output_dir:
                     save_checkpoint(cfg.output_dir, epoch, state,
                                     extra={"epoch": epoch - 1})

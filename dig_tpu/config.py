@@ -295,9 +295,13 @@ def _map_decoder_type(val):
 
 _REF_FLAG_ALIASES = {
     # finetune / predict (run_class_finetuning.py)
+    # reference spelling is `type=bool` (run_class_finetuning.py:75): any
+    # non-empty value parses True there (even "False"); here truthy
+    # strings and the bare-flag form select seq_cls, explicit falsy
+    # strings keep the default (the sane reading of user intent)
     "--use_seq_cls_token": ("model_kind", lambda v: (
         ["--model_kind", "seq_cls"]
-        if (v or "").lower() in _TRUTHY else []), True),
+        if v is None or v.lower() in _TRUTHY else []), True),
     "--decoder_type": ("model_kind", _map_decoder_type, True),
     "--use_cls": ("use_mean_pooling",  # store_false dest=use_mean_pooling
                   lambda v: ["--no_use_mean_pooling"], False),

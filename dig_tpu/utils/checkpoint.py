@@ -39,7 +39,10 @@ def fast_device_get(tree):
         return tree
     groups = {}
     for i, leaf in enumerate(leaves):
-        if not hasattr(leaf, "dtype") or not hasattr(leaf, "ravel"):
+        # only device arrays need fetching; host numpy (e.g. leaves already
+        # gathered by _gather_across_hosts) would be re-uploaded just to
+        # come back down
+        if not isinstance(leaf, jax.Array):
             continue
         groups.setdefault(jnp.dtype(leaf.dtype).name, []).append(i)
     host = list(leaves)
@@ -105,17 +108,41 @@ def _load_tree_npz(path: str):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _gather_across_hosts(tree):
+    """Replace leaves whose shards span processes with their full global
+    value (one replicating collective for all such leaves).
+
+    COLLECTIVE: every process must call this before any rank gate — when
+    the train state is sharded over a mesh axis that spans hosts
+    (``--n_fsdp`` on pods), host 0 alone cannot read non-addressable
+    shards.  Fully-replicated and host-local leaves pass through (their
+    value is readable from local shards without a collective)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idxs = [i for i, x in enumerate(leaves)
+            if isinstance(x, jax.Array)
+            and not x.is_fully_addressable and not x.is_fully_replicated]
+    if idxs:
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            [leaves[i] for i in idxs])
+        for i, g in zip(idxs, gathered):
+            leaves[i] = np.asarray(g)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def save_checkpoint(output_dir: str, tag, state, extra: Optional[dict] = None):
-    """Write ``{output_dir}/checkpoint-{tag}`` (blocking; call on host 0).
+    """Write ``{output_dir}/checkpoint-{tag}``.
 
     Uses the framework's fast native format (single batched device fetch,
     single .npz) — measured ~100x faster than per-array checkpointing
     through a remote TPU tunnel.  `output_dir` may be a remote URI
     (``gs://bucket/run`` on pods); files then go through fsspec.
 
-    Multi-process: only host 0 writes (state is replicated; concurrent
-    writers to a shared filesystem would race — ≙ the reference's
-    `utils.save_model` rank gate, utils/utils.py:479-490)."""
+    Multi-process: COLLECTIVE — every host must call it (cross-host-
+    sharded leaves are gathered first), then only host 0 writes
+    (concurrent writers to a shared filesystem would race — ≙ the
+    reference's `utils.save_model` rank gate, utils/utils.py:479-490)."""
     import json
 
     import jax
@@ -124,14 +151,14 @@ def save_checkpoint(output_dir: str, tag, state, extra: Optional[dict] = None):
         path = _join(output_dir, f"checkpoint-{tag}")
     else:
         path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{tag}"))
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        return path
-    payload = {
-        "params": fast_device_get(state.params),
-        "opt_state": fast_device_get(state.opt_state),
-    }
+    trees = {"params": state.params, "opt_state": state.opt_state}
     if state.ema_params is not None:
-        payload["ema_params"] = fast_device_get(state.ema_params)
+        trees["ema_params"] = state.ema_params
+    if jax.process_count() > 1:
+        trees = _gather_across_hosts(trees)
+        if jax.process_index() != 0:
+            return path
+    payload = {k: fast_device_get(v) for k, v in trees.items()}
     _save_tree_npz(path, payload)
     meta = {"step": int(state.step)}
     if extra:
@@ -169,21 +196,28 @@ def restore_checkpoint(path: str):
         return ckptr.restore(path)
 
 
-def latest_checkpoint(output_dir: str) -> Optional[str]:
-    """Highest-numbered ``checkpoint-N`` dir (reference regex scan,
-    utils/utils.py:592-601).  Remote URIs are listed through fsspec."""
+def _list_dir_names(output_dir: str) -> Optional[list]:
+    """Entry names directly under `output_dir` (local or fsspec remote);
+    None when the directory does not exist."""
     if _is_remote(output_dir):
         import fsspec
 
         fs, root = fsspec.core.url_to_fs(output_dir)
         try:
-            names = [p.rstrip("/").rsplit("/", 1)[-1]
-                     for p in fs.ls(root, detail=False)]
+            return [p.rstrip("/").rsplit("/", 1)[-1]
+                    for p in fs.ls(root, detail=False)]
         except FileNotFoundError:
             return None
-    elif os.path.isdir(output_dir):
-        names = os.listdir(output_dir)
-    else:
+    if os.path.isdir(output_dir):
+        return os.listdir(output_dir)
+    return None
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Highest-numbered ``checkpoint-N`` dir (reference regex scan,
+    utils/utils.py:592-601).  Remote URIs are listed through fsspec."""
+    names = _list_dir_names(output_dir)
+    if names is None:
         return None
     best, best_n = None, -1
     for name in names:
@@ -206,29 +240,24 @@ def prune_checkpoints(output_dir: str, keep: int):
         return []
     if jax.process_count() > 1 and jax.process_index() != 0:
         return []
+    names = _list_dir_names(output_dir)
+    if names is None:
+        return []
     if _is_remote(output_dir):
         import fsspec
 
         fs, root = fsspec.core.url_to_fs(output_dir)
-        try:
-            names = [p.rstrip("/").rsplit("/", 1)[-1]
-                     for p in fs.ls(root, detail=False)]
-        except FileNotFoundError:
-            return []
 
         def rm(name):
             try:
                 fs.rm(f"{root}/{name}", recursive=True)
             except FileNotFoundError:
                 pass
-    elif os.path.isdir(output_dir):
-        names = os.listdir(output_dir)
+    else:
         import shutil
 
         rm = lambda name: shutil.rmtree(  # noqa: E731
             os.path.join(output_dir, name), ignore_errors=True)
-    else:
-        return []
     numbered = sorted(
         (int(m.group(1)), n) for n in names
         if (m := re.fullmatch(r"checkpoint-(\d+)", n))

@@ -43,6 +43,27 @@ class PreemptionGuard:
     def should_stop(self) -> bool:
         return self._stop
 
+    def sync_should_stop(self) -> bool:
+        """Cross-host stop decision: True iff ANY host caught a signal.
+
+        A preemption SIGTERM may reach only some workers; if the signaled
+        host checkpointed and exited alone, the rank-0 write gate could
+        mean no checkpoint was written at all and the remaining hosts
+        would hang at their next collective.  COLLECTIVE when
+        process_count > 1 — every host must poll it at the same step
+        boundary (both CLIs do).  Single-process reduces to the local
+        flag with zero overhead."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self._stop
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([self._stop], np.int32))
+        return bool(np.max(np.asarray(flags)))
+
     def _handler(self, signum, frame):
         if self._stop:
             # second signal: restore default behavior and re-raise so a

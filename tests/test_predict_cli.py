@@ -34,6 +34,11 @@ def test_collect_image_paths(tmp_path):
     assert sorted(names) == ["a.png", "b.jpg", "c.png"]
     assert len(paths) == len(set(paths))
 
+    # a glob that matches a DIRECTORY recurses into it like a dir spec
+    # (crops/* with image subfolders must not silently drop them)
+    paths = collect_image_paths([str(tmp_path / "s*")])
+    assert [os.path.basename(p) for p in paths] == ["b.jpg"]
+
 
 def test_iter_file_batches_skips_corrupt(tmp_path, capsys):
     rng = np.random.default_rng(1)

@@ -102,3 +102,27 @@ main(FinetuneConfig(
                           capture_output=True, text=True, timeout=600)
     assert done.returncode == 0, done.stdout[-2000:] + done.stderr[-2000:]
     assert "auto-resumed" in done.stdout
+
+
+def test_sync_should_stop_cross_host(monkeypatch):
+    """A SIGTERM caught by ONE host stops ALL hosts: the flag is reduced
+    with a max across processes so the collective checkpoint save and the
+    rank-0 write gate line up (single-process path short-circuits)."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    guard = PreemptionGuard()
+    assert guard.sync_should_stop() is False  # single-process, no signal
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    calls = []
+
+    def fake_allgather(x):
+        calls.append(np.asarray(x))
+        # simulate the OTHER host having caught the signal
+        return np.stack([np.asarray(x), np.ones_like(np.asarray(x))])
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    assert guard.sync_should_stop() is True
+    assert calls and calls[0][0] == 0  # local flag was still unset

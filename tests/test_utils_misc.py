@@ -251,6 +251,9 @@ def test_reference_flag_translation():
     assert cfg.model_kind == "seq_cls"
     cfg = parse_config(FinetuneConfig, ["--use_seq_cls_token", "False"])
     assert cfg.model_kind == "rec"
+    # bare flag (no value) reads as intent to enable, not a silent no-op
+    cfg = parse_config(FinetuneConfig, ["--use_seq_cls_token"])
+    assert cfg.model_kind == "seq_cls"
     cfg = parse_config(FinetuneConfig, ["--use_cls"])
     assert cfg.use_mean_pooling is False
     # a later explicit flag still wins over the translated one
