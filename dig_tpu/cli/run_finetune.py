@@ -339,6 +339,11 @@ def main(cfg: FinetuneConfig):
 
     guard = PreemptionGuard.install()
 
+    from dig_tpu.utils.profiling import StepTraceWindow
+
+    tracer = StepTraceWindow(os.path.join(cfg.output_dir, "profile"),
+                             cfg.profile_steps, cfg.profile_start_step)
+
     for epoch in range(start_epoch, cfg.epochs):
         loader.sampler.set_epoch(epoch)
         logger = MetricLogger()
@@ -354,6 +359,7 @@ def main(cfg: FinetuneConfig):
                 batch["images"] = aug_fn(asub, batch["images"])
             step_rng, sub = jax.random.split(step_rng)
             state, metrics, pred_ids = step_fn(state, batch, sub)
+            tracer.tick()
             if guard.sync_should_stop():
                 # preemption: flush at the step boundary, exit clean.
                 # extra epoch-1 => auto-resume redoes this epoch's data
@@ -415,6 +421,7 @@ def main(cfg: FinetuneConfig):
             val_acc=stats.get("acc"), max_accuracy=max_accuracy,
         )
     print(f"max accuracy: {max_accuracy:.4f}")
+    tracer.close()  # flush a window the run ended inside of
     tb.flush()
     return state
 

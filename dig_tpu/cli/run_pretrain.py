@@ -155,6 +155,11 @@ def main(cfg: PretrainConfig):
 
     guard = PreemptionGuard.install()
 
+    from dig_tpu.utils.profiling import StepTraceWindow
+
+    tracer = StepTraceWindow(os.path.join(cfg.output_dir, "profile"),
+                             cfg.profile_steps, cfg.profile_start_step)
+
     from dig_tpu.data.pipeline import device_prefetch
 
     def to_device(item):
@@ -176,6 +181,7 @@ def main(cfg: PretrainConfig):
                 step_rng, vsub = jax.random.split(step_rng)
                 batch = view_fn(vsub, batch["images"])
             state, metrics = step_fn(state, batch, sub)
+            tracer.tick()
             if guard.sync_should_stop():
                 # preemption: flush at the step boundary, exit clean
                 # (extra epoch-1 => auto-resume redoes this epoch).
@@ -212,6 +218,7 @@ def main(cfg: PretrainConfig):
             **{f"train_{k}": m.global_avg for k, m in logger.meters.items()},
             n_parameters=int(n_params),
         )
+    tracer.close()  # flush a window the run ended inside of
     tb.flush()
     return state
 

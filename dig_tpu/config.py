@@ -79,6 +79,10 @@ class PretrainConfig:
     save_ckpt_freq: int = 1
     keep_ckpt_max: int = 0  # keep only the newest N numeric ckpts (0 = all)
     eval_freq: int = 1000
+    # capture a jax.profiler trace of N steps to {output_dir}/profile
+    # (starting at profile_start_step, past the first compiles); 0 = off
+    profile_steps: int = 0
+    profile_start_step: int = 10
     dtype: str = "bfloat16"
     # TPU-native additions
     device_aug: bool = False  # second view + masks generated on device
@@ -182,6 +186,10 @@ class FinetuneConfig:
     save_ckpt_freq: int = 1
     keep_ckpt_max: int = 0  # keep only the newest N numeric ckpts (0 = all)
     eval_freq: int = 1000
+    # capture a jax.profiler trace of N steps to {output_dir}/profile
+    # (starting at profile_start_step, past the first compiles); 0 = off
+    profile_steps: int = 0
+    profile_start_step: int = 10
     eval: bool = False
     # when True, eval benchmarks are sharded across hosts with a cross-host
     # metric reduction; when False every host evaluates the full set locally

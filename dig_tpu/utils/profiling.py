@@ -24,6 +24,54 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+class StepTraceWindow:
+    """CLI-wirable profiler window: trace steps [start, start+n).
+
+    Call `tick()` once per training step; the window opens the
+    `jax.profiler` trace when the step counter reaches `start` (default
+    past the first compiles) and closes it `n` steps later.  `close()`
+    is idempotent and must run on early exit so a short run never leaves
+    a dangling trace.  Rank-0 only — one host's trace is representative
+    and concurrent writers would collide on shared storage."""
+
+    def __init__(self, log_dir: str, n: int, start: int = 10):
+        import jax
+
+        self.log_dir = log_dir
+        self.start = start
+        self.stop_at = start + n
+        self.enabled = n > 0 and jax.process_index() == 0
+        self.step = 0
+        self.active = False
+        if self.enabled:
+            # runs that end (or sys.exit: NaN abort, preemption) before
+            # the window fills must still flush the open trace
+            import atexit
+
+            atexit.register(self.close)
+
+    def tick(self):
+        import jax
+
+        if not self.enabled:
+            return
+        if self.step == self.start:
+            jax.profiler.start_trace(self.log_dir)
+            self.active = True
+        self.step += 1
+        if self.active and self.step >= self.stop_at:
+            self.close()
+            print(f"[profile] trace of steps [{self.start}, {self.stop_at})"
+                  f" written to {self.log_dir}")
+
+    def close(self):
+        import jax
+
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+
+
 class StepTimer:
     """Wall-clock step timing that blocks on a representative output."""
 

@@ -52,10 +52,16 @@ def test_pretrain_cli_one_epoch(fixture_lmdb, tmp_path):
         save_ckpt_freq=1,
         eval_freq=0,
         dtype="float32",
+        profile_steps=2,  # --profile_steps captures a device trace window
+        profile_start_step=1,
     )
     main(cfg)
     assert os.path.isdir(str(tmp_path / "out" / "checkpoint-0"))
     assert os.path.exists(str(tmp_path / "out" / "log.txt"))
+    import glob
+
+    assert glob.glob(str(tmp_path / "out" / "profile" / "**" / "*.xplane.pb"),
+                     recursive=True)
 
 
 def test_finetune_from_pretrain_checkpoint(fixture_lmdb, tmp_path):

@@ -324,3 +324,32 @@ def test_auto_resume_cross_host_guard(tmp_path, monkeypatch):
 
     with pytest.raises(RuntimeError, match="hosts disagree"):
         ckpt.auto_resume(str(tmp_path), state=object())
+
+
+def test_step_trace_window(tmp_path):
+    """--profile_steps plumbing: the window opens at start, closes after n
+    ticks, writes a TensorBoard-viewable trace, and close() is idempotent
+    (the atexit hook must not double-stop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dig_tpu.utils.profiling import StepTraceWindow
+
+    logdir = str(tmp_path / "profile")
+    win = StepTraceWindow(logdir, n=2, start=1)
+    f = jax.jit(lambda x: x * 2)
+    for _ in range(5):
+        f(jnp.ones((4,))).block_until_ready()
+        win.tick()
+    assert not win.active
+    win.close()  # idempotent
+    import glob as g
+
+    assert g.glob(os.path.join(logdir, "**", "*.trace.json*"),
+                  recursive=True) or g.glob(
+        os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+
+    # disabled window never starts a trace
+    win2 = StepTraceWindow(str(tmp_path / "off"), n=0)
+    win2.tick()
+    assert not win2.active and not os.path.exists(str(tmp_path / "off"))
