@@ -13,25 +13,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _pool_windows(z: jnp.ndarray, num_windows: int, grid_w: int) -> jnp.ndarray:
+def _pool_windows(z: jnp.ndarray, num_windows: int) -> jnp.ndarray:
     """[B, N, C] -> [B * num_windows, C] via adaptive average pooling along
     the token/width axis (the reference pools the flattened token sequence
-    as a 1 x N map)."""
+    as a 1 x N map — i.e. a height-1 grid through the shared PyTorch-bin
+    pooler, models/moco.py::adaptive_window_pool)."""
+    from dig_tpu.models.moco import adaptive_window_pool
+
     b, n, c = z.shape
-    # adaptive_avg_pool over width W into num_windows bins (PyTorch bin edges)
-    edges_lo = (jnp.arange(num_windows) * n) // num_windows
-    edges_hi = ((jnp.arange(num_windows) + 1) * n + num_windows - 1) // num_windows
-    idx = jnp.arange(n)
-    bins = (idx[None, :] >= edges_lo[:, None]) & (idx[None, :] < edges_hi[:, None])
-    weights = bins.astype(z.dtype) / jnp.sum(bins, axis=1, keepdims=True).astype(z.dtype)
-    pooled = jnp.einsum("wn,bnc->bwc", weights, z)
-    return pooled.reshape(b * num_windows, c)
+    return adaptive_window_pool(z[:, None], num_windows).reshape(
+        b * num_windows, c)
 
 
 def seq_simclr_loss(z_i: jnp.ndarray, z_j: jnp.ndarray, temperature: float,
-                    num_windows: int = 5, grid_w: int = 32) -> jnp.ndarray:
-    zi = _pool_windows(z_i, num_windows, grid_w)
-    zj = _pool_windows(z_j, num_windows, grid_w)
+                    num_windows: int = 5) -> jnp.ndarray:
+    zi = _pool_windows(z_i, num_windows)
+    zj = _pool_windows(z_j, num_windows)
     m = zi.shape[0]
     z = jnp.concatenate([zi, zj], axis=0)
     z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)

@@ -430,6 +430,20 @@ class TFDecoder(nn.Module):
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t + 1))
             return tokens, probs
 
+        return self._dense_greedy_loop(step, b, eos)
+
+    def _dense_greedy_loop(self, step, b: int, eos):
+        """Shared driver for the dense greedy decoders (vanilla and
+        decoupled): `step(t, tokens) -> (tokens, probs_t)` is the
+        per-step graph; this runs it as a fixed-length `lax.scan` when
+        `eos` is None or an EOS early-exit `lax.while_loop` otherwise.
+
+        CAVEAT (early exit): probability rows at steps past the global
+        stop step stay zero-initialized — callers that feed `probs` into
+        a loss must decode full-length (`eos=None`); callers that only
+        read positions up to each row's own EOS (word accuracy, predict
+        confidence) are exact either way."""
+        t_max = self.max_seq_len
         tokens0 = jnp.zeros((b, t_max + 1), jnp.int32).at[:, 0].set(self.start_idx)
 
         if eos is None:
@@ -747,32 +761,7 @@ class DecoupledTFDecoder(TFDecoder):
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t + 1))
             return tokens, probs
 
-        tokens0 = jnp.zeros((b, t_max + 1), jnp.int32).at[:, 0].set(self.start_idx)
-        if eos is None:
-            tokens, probs = jax.lax.scan(
-                lambda tk, t: step(t, tk), tokens0, jnp.arange(t_max)
-            )
-            return probs.transpose(1, 0, 2), tokens[:, 1:]
-
-        probs0 = jnp.zeros((b, t_max, self.num_classes), jnp.float32)
-
-        def cond(carry):
-            t, tokens, probs, done = carry
-            return (t < t_max) & ~done
-
-        def body(carry):
-            t, tokens, probs, _ = carry
-            tokens, probs_t = step(t, tokens)
-            probs = jax.lax.dynamic_update_slice(probs, probs_t[:, None, :], (0, t, 0))
-            emitted = jax.lax.dynamic_slice_in_dim(tokens, 1, t_max, axis=1)
-            pos = jnp.arange(t_max)[None, :]
-            has_eos = jnp.any((emitted == eos) & (pos <= t), axis=1)
-            return t + 1, tokens, probs, jnp.all(has_eos)
-
-        _, tokens, probs, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), tokens0, probs0, jnp.bool_(False))
-        )
-        return probs, tokens[:, 1:]
+        return self._dense_greedy_loop(step, b, eos)
 
     def decoupled_beam_search(self, enc_output, cls_query_attn_maps,
                               beam_width: int, eos: int = 94):
@@ -795,10 +784,14 @@ class DecoupledTFDecoder(TFDecoder):
 
 
 def create_decoder(decoder_name: str, num_classes: int, max_len: int,
-                   encoder_dim: int = 384, dtype=jnp.float32,
+                   dtype=jnp.float32,
                    text_cond_vis: bool = False) -> TFDecoder:
     """Decoder factory mirroring `create_decoder`
-    (reference: models/decoder.py:13-73).  `text_cond_vis` swaps every
+    (reference: models/decoder.py:13-73).  Decoder widths come from the
+    `decoder_name` table alone; cross-attention input dims are lazily
+    inferred from the encoder features at init (no encoder_dim knob —
+    the reference's linear_norm bridge handles the width change,
+    models/model_builder.py:85-88).  `text_cond_vis` swaps every
     layer's cross-attention for the FiLM-conditioned variant
     (reference: --text_cond_vis, run_class_finetuning.py:60 ->
     models/decoder.py:18 -> transformer_layer.py:76-87); the decoupled

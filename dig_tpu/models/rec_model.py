@@ -84,8 +84,11 @@ class RecModel(nn.Module):
 
     def encode_features(self, images, deterministic: bool = True):
         """Bare encoder features (used as the distillation teacher;
-        engine_for_finetuning.py:34-36)."""
-        return self.encoder(images, deterministic=deterministic)
+        engine_for_finetuning.py:34-36).  Routed through `_raw_encode` so
+        the teacher gets the SAME 1-D height collapse as the student when
+        `use_1d_attdec` is on — the smooth-L1 in the distill step
+        subtracts them elementwise."""
+        return self._raw_encode(images, deterministic)
 
     def recognize(self, images, beam_width: int = 0, eos: int = 94):
         """Inference: greedy or beam search.
@@ -345,14 +348,21 @@ def build_rec_model(
         # finetune ViT (models/model_builder.py:263 vs the mask-less
         # forward at modeling_finetune.py:361-366); wired first-class here
         # against `PretrainViTEncoder` (mask-token substitution).
-        simmim_name = (model_name if model_name.startswith(("simmim_", "pretrain_"))
+        if model_name.startswith("pretrain_"):
+            # pretrain_* registry names build the full DiGPretrainModel
+            # (dict outputs, different signature) — not a graftable encoder
+            raise ValueError(
+                f"--model_kind mim_rec needs a plain or simmim_* encoder "
+                f"name, not the pretrain model {model_name!r} (e.g. "
+                f"vit_small_patch4_32x128)")
+        simmim_name = (model_name if model_name.startswith("simmim_")
                        else "simmim_" + model_name)
         encoder = create_model(
             simmim_name, drop_rate=drop_rate, attn_drop_rate=attn_drop_rate,
             drop_path_rate=drop_path_rate, dtype=dtype,
         )
         decoder = create_decoder(decoder_name, nb_classes, max_len,
-                                 encoder_dim=encoder.embed_dim, dtype=dtype)
+                                 dtype=dtype)
         return MimRecModel(encoder=encoder, decoder=decoder,
                            use_mim_proj=use_mim_proj,
                            pix_classes=encoder.patch_size ** 2 * 3, dtype=dtype)
@@ -378,8 +388,7 @@ def build_rec_model(
                 dtype=dtype,
             )
         return SeqClsTokenRecModel(encoder=encoder, nb_classes=nb_classes, dtype=dtype)
-    decoder = create_decoder(decoder_name, nb_classes, max_len,
-                             encoder_dim=encoder.embed_dim, dtype=dtype,
+    decoder = create_decoder(decoder_name, nb_classes, max_len, dtype=dtype,
                              text_cond_vis=text_cond_vis)
     if decoder_name == "decoupled_tf_decoder":
         # the decoupled decoder needs class-query attention maps, which the

@@ -41,7 +41,9 @@ def init_finetune_state(model, tx, rng, batch_size: int = 2, max_len: int = 25,
     return TrainState.create(variables["params"], tx)
 
 
-def make_finetune_step(model, smoothing: float = 0.1, mesh=None, update_freq: int = 1):
+def make_finetune_step(model, smoothing: float = 0.1, mesh=None):
+    # gradient accumulation (--update_freq) lives in the optimizer
+    # (optax.MultiSteps, run_finetune.py) — not a knob of the step fn
     def train_step(state: TrainState, batch, rng):
         images, targets, lens = batch["images"], batch["targets"], batch["lengths"]
 
@@ -182,11 +184,15 @@ def make_mim_finetune_step(model, smoothing: float = 0.1,
         n = model.encoder.num_patches
         num_mim = int(round(mim_sample_ratio * b))
         k_mask, k_drop = jax.random.split(rng)
-        mask = jnp.zeros((b, n), bool)
         if num_mim > 0:
             m = random_mask_batch(k_mask, num_mim, n,
                                   int(mask_ratio * n), 1)[:, 0]
-            mask = mask.at[:num_mim].set(m)
+            mask = jnp.zeros((b, n), bool).at[:num_mim].set(m)
+        else:
+            # mask=None skips the pixel branch entirely — an all-False
+            # mask would still run the pix head over the full batch only
+            # to discard it
+            mask = None
 
         def loss_fn(params):
             out = model.apply(
@@ -242,10 +248,20 @@ def make_ctc_eval_step(model, mesh=None):
 
 
 def make_eval_step(model, beam_width: int = 0, eos: int = 94, mesh=None):
+    # Greedy eval decodes FULL length (eos=-1 disables the early-exit
+    # while_loop): the logged loss applies seq CE to the per-step softmax
+    # over the whole target mask, and early exit would leave positions
+    # past the global stop step zero — scoring them as uniform instead of
+    # the model's actual log-prob.  The reference always runs all
+    # max_seq_len steps too (models/decoder.py:233).  Beam keeps the real
+    # eos (kill-on-EOS semantics need it); its loss is 0 by convention.
+    greedy_eos = -1 if beam_width == 0 else eos
+
     def eval_step(params, batch):
         images, targets, lens = batch["images"], batch["targets"], batch["lengths"]
         probs, ids = model.apply(
-            {"params": params}, images, beam_width, eos, method=model.recognize
+            {"params": params}, images, beam_width, greedy_eos,
+            method=model.recognize
         )
         if probs is not None:
             # reference logs SeqCE applied to the softmax outputs (:249)

@@ -151,3 +151,30 @@ def test_update_freq_accumulation():
     assert tdiff(p0, jax.device_get(state.params)) == 0.0  # accumulating
     state, _, _ = step_fn(state, batch, jax.random.PRNGKey(2))
     assert tdiff(p0, jax.device_get(state.params)) > 0.0  # applied
+
+
+@pytest.mark.slow
+def test_distill_step_with_1d_collapse():
+    """use_feat_distill + use_1d_attdec: the teacher's encode_features
+    must get the same height collapse as the student feature or the
+    smooth-L1 subtraction has incompatible shapes ([B,gw,C] vs [B,N,C])."""
+    student = RecModel(encoder=tiny_enc(), decoder=tiny_dec(),
+                       use_feat_distill=True, use_1d_attdec=True)
+    lr = cosine_schedule(1e-3, 1e-4, 1, 4)
+    tx = make_optimizer(lr)
+    state = init_finetune_state(student, tx, jax.random.PRNGKey(0), max_len=5)
+    teacher_params = jax.tree_util.tree_map(jnp.copy, state.params)
+    step_fn = make_distill_finetune_step(student, teacher_params, smoothing=0.1)
+    state, metrics, _ = step_fn(state, make_batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # identical params + same deterministic teacher path -> distill loss is
+    # the projector-vs-raw gap, finite and well-defined
+    assert float(metrics["loss_distill"]) >= 0.0
+
+
+def test_mim_rec_rejects_pretrain_model_names():
+    from dig_tpu.models.rec_model import build_rec_model
+
+    with pytest.raises(ValueError, match="mim_rec"):
+        build_rec_model("pretrain_simmim_moco_ori_vit_micro_patch4_32x128",
+                        "small_tf_decoder", model_kind="mim_rec")
