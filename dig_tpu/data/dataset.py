@@ -85,7 +85,8 @@ class ImageLmdb:
         self.use_aug = use_aug
         # per-thread child streams: the loader fans single samples out to
         # worker threads, and numpy Generators are not thread-safe
-        rng = ThreadLocalRng(rng if rng is not None else np.random.default_rng())
+        if not isinstance(rng, ThreadLocalRng):
+            rng = ThreadLocalRng(rng if rng is not None else np.random.default_rng())
         self.rng = rng
         if use_aug:
             if use_abi_aug:
@@ -163,7 +164,8 @@ class AloneImageLmdb:
             n = int(n * num_samples)
         self.num_samples_total = n
         self.img_height, self.img_width = img_height, img_width
-        rng = ThreadLocalRng(rng if rng is not None else np.random.default_rng())
+        if not isinstance(rng, ThreadLocalRng):
+            rng = ThreadLocalRng(rng if rng is not None else np.random.default_rng())
         self.rng = rng
         self.use_aug = use_aug
         self.num_view = num_view
@@ -235,6 +237,11 @@ def build_dataset(data_paths, is_train: bool, voc_type="ALLCASES_SYMBOLS",
                   img_height=32, img_width=128, rng=None):
     """Factory mirroring `build_dataset` (dataset/datasets.py:67-123)."""
     paths = data_paths if isinstance(data_paths, (list, tuple)) else [data_paths]
+    # one shared thread-local wrapper across sub-datasets: per-dataset
+    # wrappers around the SAME base generator would race on its
+    # SeedSequence.spawn under the loader's per-sample thread fan-out
+    if not isinstance(rng, ThreadLocalRng):
+        rng = ThreadLocalRng(rng if rng is not None else np.random.default_rng())
     sets = [
         ImageLmdb(
             p, voc_type, max_len,
@@ -254,6 +261,8 @@ def build_pretraining_dataset(data_paths, mask_ratio=0.7, num_view=2,
     """Factory mirroring `build_pretraining_aloneimage_dataset`
     (dataset/datasets.py:52-64)."""
     paths = data_paths if isinstance(data_paths, (list, tuple)) else [data_paths]
+    if not isinstance(rng, ThreadLocalRng):
+        rng = ThreadLocalRng(rng if rng is not None else np.random.default_rng())
     sets = [
         AloneImageLmdb(
             p, max_len, num_samples, img_height, img_width,

@@ -49,14 +49,18 @@ def _even(n: int) -> int:
 
 def _load_native():
     with _build_lock:
-        if not os.path.exists(_NATIVE_SO):
-            src = os.path.join(_NATIVE_DIR, "dig_lmdb.cpp")
+        src = os.path.join(_NATIVE_DIR, "dig_lmdb.cpp")
+        stale = (os.path.exists(_NATIVE_SO) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_NATIVE_SO))
+        if not os.path.exists(_NATIVE_SO) or stale:
             try:
                 subprocess.run(
                     ["g++", "-O2", "-shared", "-fPIC", "-o", _NATIVE_SO, src],
                     check=True, capture_output=True,
                 )
             except Exception:
+                if stale:
+                    os.remove(_NATIVE_SO)  # never load a stale binary
                 return None
         try:
             lib = ctypes.CDLL(_NATIVE_SO)
@@ -125,29 +129,44 @@ class _PyReader:
             path = os.path.join(path, "data.mdb")
         self._f = open(path, "rb")
         self._m = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
-        best = None
-        for psize in (4096, 8192, 16384, 32768):
-            for i in (0, 1):
-                off = i * psize + PAGEHDRSZ
-                if off + 48 > len(self._m):
-                    continue
-                magic, version = struct.unpack_from("<II", self._m, off)
-                if magic != MAGIC:
-                    continue
-                # meta layout: magic(4) version(4) address(8) mapsize(8)
-                # dbs[2] (2x48) last_pg(8) txnid(8)
-                txnid = struct.unpack_from("<Q", self._m, off + 128)[0]
-                if best is None or txnid > best[0]:
-                    main = struct.unpack_from("<IHH5Q", self._m, off + 72)
-                    best = (txnid, psize, main)
-            if best:
-                break
-        if best is None:
+        # meta page 0 is always at byte 0; the authoritative page size is
+        # the meta's own mm_psize field (liblmdb stores it in the free DB's
+        # pad slot: #define mm_psize mm_dbs[FREE_DBI].md_pad) — probing page
+        # offsets alone would lock onto 4096 regardless of the real size
+        m0 = self._parse_meta(0)
+        if m0 is None:
             raise OSError(f"not an LMDB file: {path}")
-        _, self.psize, main = best
+        psize = m0[1]
+        if not (512 <= psize <= 65536 and psize & (psize - 1) == 0):
+            # legacy files (this module's writer once left mm_psize = 0):
+            # recover the page size by probing for the second meta page
+            psize = 4096
+            for cand in (4096, 8192, 16384, 32768, 65536):
+                if self._parse_meta(cand) is not None:
+                    psize = cand
+                    break
+        m1 = self._parse_meta(psize)
+        best = m1 if (m1 is not None and m1[0] > m0[0]) else m0
+        main = best[2]
+        self.psize = psize
         self.depth = main[2]
         self.entries = main[6]
         self.root = main[7]
+
+    def _parse_meta(self, off: int):
+        """(txnid, mm_psize, main_db_fields) of the meta at byte `off`,
+        or None if no valid meta lives there.  Meta layout after the page
+        header: magic(4) version(4) address(8) mapsize(8) dbs[2] (2x48)
+        last_pg(8) txnid(8)."""
+        if off + PAGEHDRSZ + 136 > len(self._m):
+            return None
+        magic = struct.unpack_from("<I", self._m, off + PAGEHDRSZ)[0]
+        if magic != MAGIC:
+            return None
+        psize = struct.unpack_from("<I", self._m, off + PAGEHDRSZ + 24)[0]
+        main = struct.unpack_from("<IHH5Q", self._m, off + PAGEHDRSZ + 72)
+        txnid = struct.unpack_from("<Q", self._m, off + PAGEHDRSZ + 128)[0]
+        return (txnid, psize, main)
 
     def _page(self, pgno: int) -> int:
         return pgno * self.psize
@@ -227,21 +246,27 @@ class LmdbReader:
             try:
                 import lmdb  # noqa
 
-                env = lmdb.open(path, max_readers=32, readonly=True, lock=False)
-                txn = env.begin()
+                env = lmdb.open(path, subdir=os.path.isdir(path),
+                                max_readers=32, readonly=True, lock=False)
 
                 class _L:
                     entries = env.stat()["entries"]
 
                     def get(self, key):
-                        return txn.get(key)
+                        # one read txn per call: py-lmdb transactions are
+                        # not usable concurrently, and the loader fans
+                        # samples out across worker threads
+                        with env.begin() as txn:
+                            return txn.get(key)
 
                     def close(self):
                         env.close()
 
                 self._impl = _L()
                 self.backend = "lmdb"
-            except ImportError:
+            except Exception:
+                # any open failure (not just a missing package) falls
+                # through to the pure-Python parser in auto mode
                 if backend == "lmdb":
                     raise
         if self._impl is None:
@@ -376,13 +401,15 @@ class LmdbWriter:
                 branch_pages += 1
             level = next_level
         root = level[0][1] if level else P_INVALID
-        if root != P_INVALID and isinstance(level[0], tuple):
-            root = level[0][1]
 
         # ---- metas -----------------------------------------------------------
         last_pg = next_pg - 1
         mapsize = max(next_pg * PAGE_SIZE, 1 << 20)
-        free_db = struct.pack("<IHH5Q", 0, 0x08, 0, 0, 0, 0, 0, P_INVALID)
+        # liblmdb keeps the page size in the free DB's pad slot
+        # (#define mm_psize mm_dbs[FREE_DBI].md_pad); flags 0x08 =
+        # MDB_INTEGERKEY, matching mdb_env_init_meta
+        free_db = struct.pack("<IHH5Q", PAGE_SIZE, 0x08, 0, 0, 0, 0, 0,
+                              P_INVALID)
         main_db = struct.pack(
             "<IHH5Q", 0, 0, depth if items else 0, branch_pages,
             len(leaf_entries), overflow_pages, len(items),

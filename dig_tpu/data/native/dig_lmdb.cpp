@@ -152,27 +152,34 @@ void* dig_lmdb_open(const char* path) {
   env->map = static_cast<const uint8_t*>(map);
   env->size = st.st_size;
 
-  // Metas live on pages 0 and 1; pick the valid one with the larger txnid.
-  const MdbMeta* best = nullptr;
-  for (size_t psize : {size_t(4096), size_t(8192), size_t(16384), size_t(32768)}) {
-    if (2 * psize > env->size && psize != 4096) continue;
-    for (int i = 0; i < 2; i++) {
-      size_t off = i * psize + PAGEHDRSZ;
-      if (off + sizeof(MdbMeta) > env->size) continue;
-      auto* m = reinterpret_cast<const MdbMeta*>(env->map + off);
-      if (m->magic != MDB_MAGIC) continue;
-      if (!best || m->txnid > best->txnid) {
-        best = m;
-        env->psize = psize;
-      }
-    }
-    if (best) break;
-  }
-  if (!best) {
+  // Meta page 0 is always at byte 0; the authoritative page size is the
+  // meta's own mm_psize (liblmdb stores it in the free DB's pad slot:
+  // #define mm_psize mm_dbs[FREE_DBI].md_pad).  Meta 1 then lives at that
+  // offset; pick the valid meta with the larger txnid.
+  auto meta_at = [&](size_t off) -> const MdbMeta* {
+    if (off + PAGEHDRSZ + sizeof(MdbMeta) > env->size) return nullptr;
+    auto* m = reinterpret_cast<const MdbMeta*>(env->map + off + PAGEHDRSZ);
+    return m->magic == MDB_MAGIC ? m : nullptr;
+  };
+  const MdbMeta* m0 = meta_at(0);
+  if (!m0) {
     munmap(map, env->size);
     delete env;
     return nullptr;
   }
+  size_t psize = m0->dbs[0].pad;
+  if (psize < 512 || psize > 65536 || (psize & (psize - 1)) != 0) {
+    // legacy files (this module's writer once left mm_psize = 0):
+    // recover the page size by probing for the second meta page
+    psize = 4096;
+    for (size_t cand : {size_t(4096), size_t(8192), size_t(16384),
+                        size_t(32768), size_t(65536)}) {
+      if (meta_at(cand)) { psize = cand; break; }
+    }
+  }
+  const MdbMeta* m1 = meta_at(psize);
+  const MdbMeta* best = (m1 && m1->txnid > m0->txnid) ? m1 : m0;
+  env->psize = psize;
   env->root = best->dbs[1].root;
   env->depth = best->dbs[1].depth;
   env->entries = best->dbs[1].entries;

@@ -143,12 +143,24 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that re-checks stop: the consumer may abandon
+            # iteration (break/exception) with the queue full, and a plain
+            # put() would park this thread — and its worker pool — forever
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 pending = []
 
-                def drain(futs):
-                    out_q.put(("ok", self.collate([f.result() for f in futs])))
+                def drain(futs) -> bool:
+                    return put(("ok", self.collate([f.result() for f in futs])))
 
                 try:
                     for batch_idx in self._batches():
@@ -162,14 +174,20 @@ class DataLoader:
                             [pool.submit(self.dataset.__getitem__, i) for i in batch_idx]
                         )
                         while len(pending) >= self.prefetch:
-                            drain(pending.pop(0))
+                            if not drain(pending.pop(0)):
+                                break
                     for futs in pending:
                         if stop.is_set():
                             break
                         drain(futs)
-                    out_q.put(("end", None))
+                    put(("end", None))
                 except Exception as e:  # propagate into the consumer
-                    out_q.put(("err", e))
+                    put(("err", e))
+                finally:
+                    if stop.is_set():  # abandoned: skip queued decode work
+                        for futs in pending:
+                            for f in futs:
+                                f.cancel()
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

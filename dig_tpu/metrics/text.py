@@ -95,7 +95,14 @@ def accuracy_with_lexicon(pred_ids, target_ids, charset: Charset, lexicons) -> l
 def rec_post_process(pred_ids, target_ids, scores, charset: Charset):
     """Decode plus per-word confidence: product of per-step max-probs up to
     and including EOS (reference: evaluation_metric/metrics.py:189-202).
-    `scores` is [N, T] of per-step chosen-symbol probabilities."""
+    `scores` is [N, T] of per-step chosen-symbol probabilities.
+
+    Reference-parity caveat: the step count is ``len(pred) + 1`` of the
+    NORMALIZED (lowercase alphanumeric) string — exactly what the
+    reference computes via get_str_list — so predictions containing
+    symbols contribute fewer probability factors than decode steps taken.
+    `cli/run_predict.py` computes its confidence from raw step
+    probabilities instead; this function exists for metric parity."""
     preds = decode_batch(pred_ids, charset)
     targs = decode_batch(target_ids, charset)
     scores = np.asarray(scores)

@@ -135,28 +135,34 @@ def _endswith(keys: tuple, suffix: tuple) -> bool:
     return len(keys) >= len(suffix) and keys[-len(suffix):] == suffix
 
 
-def tp_param_shardings(mesh: Mesh, params):
+def tp_param_shardings(mesh: Mesh, params, base=None):
     """Megatron-style tensor-parallel sharding for the transformer blocks,
     driven by structured key-path suffix rules (TP_COLUMN_RULES /
-    TP_ROW_RULES) rather than substring matching.  Composes with
-    `fsdp_param_shardings` (applied first, TP rules override where they
-    match).  tests/test_tp_rules.py enumerates the trees and fails on any
+    TP_ROW_RULES) rather than substring matching.  Pass the
+    `fsdp_param_shardings` tree as ``base`` to compose the two: leaves with
+    no TP opinion inherit the base sharding instead of being replicated
+    (without ``base`` they are explicitly replicated).
+    tests/test_tp_rules.py enumerates the trees and fails on any
     expected-sharded leaf left replicated."""
     n_tp = mesh.shape["tensor"]
 
-    def rule(path, leaf):
+    def rule(path, leaf, fallback):
         keys = _path_keys(path)
         if n_tp == 1 or leaf.ndim < 2:
-            return NamedSharding(mesh, P())
+            return fallback
         if any(_endswith(keys, c) for c in TP_COLUMN_RULES):
             if leaf.shape[-1] % n_tp == 0:
                 return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["tensor"])))
         if any(_endswith(keys, r) for r in TP_ROW_RULES):
             if leaf.shape[0] % n_tp == 0:
                 return NamedSharding(mesh, P(*(["tensor"] + [None] * (leaf.ndim - 1))))
-        return NamedSharding(mesh, P())
+        return fallback
 
-    return jax.tree_util.tree_map_with_path(rule, params)
+    if base is None:
+        replicated = NamedSharding(mesh, P())
+        return jax.tree_util.tree_map_with_path(
+            lambda p, l: rule(p, l, replicated), params)
+    return jax.tree_util.tree_map_with_path(rule, params, base)
 
 
 def fsdp_param_shardings(mesh: Mesh, params, min_size: int = 2**16):

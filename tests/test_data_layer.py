@@ -155,3 +155,37 @@ def test_build_dataset_factories(fixture_lmdb):
     pre = build_pretraining_dataset(fixture_lmdb, num_view=2)
     ori, aug, mask = pre[1]
     assert mask.shape == (2, 256)
+
+
+def test_dataloader_abandoned_iterator_releases_producer(fixture_lmdb):
+    """Breaking out of iteration with the prefetch queue full must not
+    park the producer thread (and its worker pool) forever."""
+    import threading
+    import time
+
+    ds = ImageLmdb(fixture_lmdb, max_len=25)
+    sampler = ShardedSampler(len(ds), shuffle=False)
+    before = threading.active_count()
+    loader = DataLoader(ds, sampler, batch_size=1, num_workers=2, prefetch=2)
+    for _ in loader:
+        break  # abandon with batches still queued
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_multi_source_datasets_share_rng(fixture_lmdb):
+    """build_dataset must hand every sub-dataset ONE ThreadLocalRng:
+    per-dataset wrappers around a shared base generator would race on
+    SeedSequence.spawn across loader threads."""
+    import numpy as np
+
+    from dig_tpu.data.pipeline import ThreadLocalRng
+
+    base = np.random.default_rng(0)
+    ds = build_dataset([fixture_lmdb, fixture_lmdb], is_train=True,
+                       use_aug=True, rng=base)
+    rngs = {id(sub.rng) for sub in ds.datasets}
+    assert len(rngs) == 1
+    assert isinstance(ds.datasets[0].rng, ThreadLocalRng)

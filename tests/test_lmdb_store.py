@@ -74,3 +74,59 @@ def test_multi_level_tree(tmp_path):
             assert rn.get(b"key-%09d" % i) == b"v%d" % i
         rn.close()
     r.close()
+
+
+def test_meta_carries_page_size(tmp_path):
+    """liblmdb reads the page size from mm_psize (= mm_dbs[0].md_pad);
+    writing 0 there makes files unopenable by real liblmdb."""
+    import struct
+
+    path, _ = make_db(tmp_path, n=5)
+    data = open(os.path.join(path, "data.mdb"), "rb").read()
+    for meta_off in (0, 4096):
+        psize = struct.unpack_from("<I", data, meta_off + 16 + 24)[0]
+        assert psize == 4096
+
+
+def test_reader_nondefault_page_size(tmp_path, monkeypatch):
+    """Files written by liblmdb on 16K-page hosts carry mm_psize=16384;
+    both readers must honor the meta field, not assume 4096."""
+    import dig_tpu.data.lmdb_store as ls
+
+    monkeypatch.setattr(ls, "PAGE_SIZE", 16384)
+    monkeypatch.setattr(ls, "NODE_MAX", ((16384 - ls.PAGEHDRSZ) // 2) & ~1)
+    path, items = make_db(tmp_path, n=100)
+    monkeypatch.undo()
+
+    r = ls._PyReader(path)
+    assert r.psize == 16384
+    for k, v in list(items.items())[:20]:
+        assert r.get(k) == v, k
+    r.close()
+    if native_lib() is not None:
+        rn = LmdbReader(path, backend="native")
+        for k, v in list(items.items())[:20]:
+            assert rn.get(k) == v, k
+        rn.close()
+
+
+def test_reader_legacy_zero_psize(tmp_path):
+    """Files from the older writer (mm_psize left 0) must still open via
+    the second-meta probe fallback."""
+    import struct
+
+    path, items = make_db(tmp_path, n=30)
+    f = os.path.join(path, "data.mdb")
+    data = bytearray(open(f, "rb").read())
+    for meta_off in (0, 4096):
+        struct.pack_into("<I", data, meta_off + 16 + 24, 0)
+    open(f, "wb").write(bytes(data))
+
+    r = _PyReader(path)
+    assert r.psize == 4096
+    assert r.get(b"num-samples") == b"30"
+    r.close()
+    if native_lib() is not None:
+        rn = LmdbReader(path, backend="native")
+        assert rn.get(b"num-samples") == b"30"
+        rn.close()

@@ -130,3 +130,27 @@ def test_tp_forward_executes(tp_mesh):
     logits = fwd(params, jnp.zeros((8, 32, 128, 3)),
                  jnp.zeros((8, 5), jnp.int32), jnp.full((8,), 5))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_tp_composes_with_fsdp_base(tp_mesh):
+    """With base=fsdp tree, TP-matched leaves get the tensor sharding and
+    every other leaf KEEPS its fsdp sharding (no silent replication)."""
+    from dig_tpu.parallel.mesh import fsdp_param_shardings
+
+    params = _rec_params()
+    fsdp = fsdp_param_shardings(tp_mesh, params, min_size=1)
+    composed = tp_param_shardings(tp_mesh, params, base=fsdp)
+
+    flat_f = jax.tree_util.tree_flatten_with_path(fsdp)[0]
+    flat_c = jax.tree_util.tree_flatten_with_path(composed)[0]
+    n_tp, n_kept = 0, 0
+    for (path, f), (_, c) in zip(flat_f, flat_c):
+        keys = _path_keys(path)
+        tp_match = any(_endswith(keys, r) for r in TP_COLUMN_RULES) or any(
+            _endswith(keys, r) for r in TP_ROW_RULES)
+        if tp_match and any(e == "tensor" for e in tuple(c.spec)):
+            n_tp += 1
+        elif not tp_match:
+            assert c.spec == f.spec, "/".join(keys)
+            n_kept += 1
+    assert n_tp > 0 and n_kept > 0

@@ -21,7 +21,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("lmdb_path")
     ap.add_argument("output_pkl")
-    ap.add_argument("--lowercase", action="store_true", default=True)
+    ap.add_argument("--lowercase", action=argparse.BooleanOptionalAction,
+                    default=True, help="lowercase words (--no-lowercase to "
+                    "keep case; the reference tool always lowercases)")
     args = ap.parse_args()
 
     reader = LmdbReader(args.lmdb_path)
