@@ -12,9 +12,11 @@ throughput for this recipe (4 ViT-S passes per step on 2x256-token views,
 fp16) is ~850 imgs/sec/chip; the north star is >= 2x that per chip
 (BASELINE.json).  vs_baseline reports value / 850 (i.e. 2.0 == target).
 
-Modes (env BENCH_MODE): "pretrain" (default) or "eval" — greedy-decode
+Modes (env BENCH_MODE): "pretrain" (default), "eval" — greedy-decode
 inference throughput of the ViT-S recognizer (the reference's eval is an
-uncached O(T) decoder recompute; ~400 imgs/sec/A100 measured-class).
+uncached O(T) decoder recompute; ~400 imgs/sec/A100 measured-class) —
+or "finetune" — the supervised teacher-forced recognition train step
+(reference recipe: batch 256/chip, ViT-S + tf_decoder, README.md:91-117).
 """
 
 import json
@@ -29,6 +31,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 A100_BASELINE_IMGS_PER_SEC = 850.0
 A100_EVAL_BASELINE_IMGS_PER_SEC = 400.0
+# derived, not measured: the finetune step is ~3.5 ViT-fwd-equivalents
+# per image (1 fwd + 2 bwd + ~15% decoder) vs the pretrain step's 8
+# (2-view student fwd+bwd + 2-view momentum key fwd), so the same
+# A100-class hardware runs it at roughly 850 * 8 / 3.5
+A100_FINETUNE_BASELINE_IMGS_PER_SEC = 1900.0
 
 # peak dense bf16 matmul throughput per chip, by device_kind substring
 # (public spec sheets; override with BENCH_PEAK_TFLOPS)
@@ -83,8 +90,9 @@ def eval_bench():
     n_chips = jax.device_count()
     batch = int(os.environ.get("BENCH_BATCH", "512")) * n_chips
     steps = int(os.environ.get("BENCH_STEPS", "25"))
-    model = build_rec_model("vit_small_patch4_32x128", "tf_decoder",
-                            dtype=jnp.bfloat16)
+    model = build_rec_model(os.environ.get("BENCH_MODEL",
+                                           "vit_small_patch4_32x128"),
+                            "tf_decoder", dtype=jnp.bfloat16)
     rngk = jax.random.PRNGKey(0)
     images = jnp.zeros((batch, 32, 128, 3), jnp.float32)
     targets = jnp.zeros((batch, 25), jnp.int32)
@@ -122,6 +130,81 @@ def eval_bench():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(per_chip / A100_EVAL_BASELINE_IMGS_PER_SEC, 3),
     }))
+
+
+def finetune_bench():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dig_tpu.models.rec_model import build_rec_model
+    from dig_tpu.optim import make_optimizer
+    from dig_tpu.parallel.mesh import create_mesh, shard_batch
+    from dig_tpu.train.finetune import init_finetune_state, make_finetune_step
+    from dig_tpu.utils.schedules import cosine_schedule
+
+    n_chips = jax.device_count()
+    batch = int(os.environ.get("BENCH_BATCH", "256")) * n_chips
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    warmup = 3
+
+    model = build_rec_model(os.environ.get("BENCH_MODEL",
+                                           "vit_small_patch4_32x128"),
+                            "tf_decoder", dtype=jnp.bfloat16, drop_rate=0.1,
+                            attn_drop_rate=0.1, drop_path_rate=0.1)
+    total = 1000
+    tx = make_optimizer(
+        cosine_schedule(1e-4 * batch / 256, 1e-6, 1, total, warmup_steps=10),
+        cosine_schedule(0.05, 0.05, 1, total),
+        clip_grad=None,
+    )
+    state = init_finetune_state(model, tx, jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    step_fn = make_finetune_step(model, smoothing=0.1, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    # codec convention (utils/charset.py::encode): chars, EOS at len-1,
+    # PADDING after; `lengths` counts the EOS
+    lens = rng.integers(3, 12, size=(batch,))
+    targets = rng.integers(0, 94, size=(batch, 25))
+    targets[np.arange(25)[None, :] >= lens[:, None]] = 95
+    targets[np.arange(batch), lens - 1] = 94
+    batch_np = {
+        "images": rng.normal(size=(batch, 32, 128, 3)).astype(np.float32),
+        "targets": targets.astype(np.int32),
+        "lengths": lens.astype(np.int32),
+    }
+    device_batch = shard_batch(mesh, batch_np)
+    key = jax.random.PRNGKey(1)
+
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        state, metrics, _ = step_fn(state, device_batch, sub)
+    float(metrics["loss"])  # completion barrier (see main())
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, metrics, _ = step_fn(state, device_batch, sub)
+    final_loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert final_loss == final_loss, "NaN loss in benchmark"
+
+    per_chip = batch * steps / dt / n_chips
+    result = {
+        "metric": "finetune_imgs_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(per_chip / A100_FINETUNE_BASELINE_IMGS_PER_SEC, 3),
+        "step_ms": round(dt / steps * 1e3, 2),
+    }
+    flops = program_flops(step_fn, state, device_batch, key)
+    peak = device_peak_tflops()
+    if flops and peak:
+        result["mfu"] = round(flops / (dt / steps) / n_chips / (peak * 1e12), 4)
+        result["step_tflops"] = round(flops / 1e12, 3)
+    print(json.dumps(result))
 
 
 def _pretrain_breakdown(model, state, step_fn, batch, key, wall_step_s):
@@ -210,6 +293,8 @@ def _pretrain_breakdown(model, state, step_fn, batch, key, wall_step_s):
 def main():
     if os.environ.get("BENCH_MODE") == "eval":
         return eval_bench()
+    if os.environ.get("BENCH_MODE") == "finetune":
+        return finetune_bench()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -233,7 +318,8 @@ def main():
     warmup = 3
 
     model = create_model(
-        "pretrain_simmim_moco_ori_vit_small_patch4_32x128",
+        os.environ.get("BENCH_MODEL",
+                       "pretrain_simmim_moco_ori_vit_small_patch4_32x128"),
         num_windows=4, temperature=0.2, dtype=jnp.bfloat16,
     )
     total = 1000
