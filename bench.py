@@ -104,7 +104,7 @@ def eval_bench():
     batch_d = {"images": images, "targets": targets, "lengths": lens}
 
     ids, loss = eval_fn(variables["params"], batch_d)
-    float(loss)
+    float(np.asarray(loss).sum())
     times = []
     prev = ids
     for i in range(steps):
@@ -119,7 +119,7 @@ def eval_bench():
         )
         t0 = time.perf_counter()
         ids, loss = eval_fn(variables["params"], batch_d)
-        float(loss)
+        float(np.asarray(loss).sum())
         times.append(time.perf_counter() - t0)
         prev = ids
     dt = sorted(times)[len(times) // 2]

@@ -142,7 +142,10 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
         n_correct += acc * n
         n_total += n
         f_sum += f * n
-        loss_sum += float(loss) * n
+        # per-ROW losses: slice off the static-shape padding rows before
+        # accumulating, or the pad rows' NLL skews the printed loss on
+        # every set not divisible by the batch size
+        loss_sum += float(np.asarray(host_local_rows(loss))[:n].sum())
     if cfg.dist_eval and jax.process_count() > 1:
         # cross-host metric reduction (≙ metric_logger.synchronize_between_processes,
         # engine_for_finetuning.py:276); without --dist_eval every host
@@ -360,7 +363,9 @@ def main(cfg: FinetuneConfig):
             step_rng, sub = jax.random.split(step_rng)
             state, metrics, pred_ids = step_fn(state, batch, sub)
             tracer.tick()
-            if guard.sync_should_stop():
+            # every=25: bounded-latency consensus (~seconds) without a
+            # host-blocking collective per step (see sync_should_stop)
+            if guard.sync_should_stop(step=it, every=25):
                 # preemption: flush at the step boundary, exit clean.
                 # extra epoch-1 => auto-resume redoes this epoch's data
                 # pass with the (preserved) mid-epoch optimizer state.

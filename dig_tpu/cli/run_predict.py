@@ -69,10 +69,39 @@ def collect_image_paths(specs) -> list:
     return list(dict.fromkeys(out))
 
 
+def _prep_batches(pairs, prep, batch_size, num_workers, what):
+    """Shared decode/accumulate machinery of the file and LMDB iterators:
+    ``pairs`` yields (name, payload); ``prep(payload)`` (run on a thread
+    pool) returns an image or None.  Chunked map bounds decoded-image
+    memory at O(chunk) even when the consumer (device inference) is
+    slower than the decode threads — Executor.map over the full input
+    would buffer every completed result.  None results are skipped under
+    their own name with a note (the reference dataset's skip-on-corrupt
+    behavior, dataset/dataset_lmdb.py:173-177)."""
+    import itertools
+
+    chunk = max(batch_size * 8, 64)
+    it = iter(pairs)
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        names, imgs = [], []
+        while part := list(itertools.islice(it, chunk)):
+            for (name, _), img in zip(part, pool.map(prep, [p for _, p in part])):
+                if img is None:
+                    print(f"[predict] skipping unreadable {what} {name!r}",
+                          file=sys.stderr)
+                    continue
+                names.append(name)
+                imgs.append(img)
+                if len(imgs) == batch_size:
+                    yield names, np.stack(imgs)
+                    names, imgs = [], []
+        if imgs:
+            yield names, np.stack(imgs)
+
+
 def iter_file_batches(paths, batch_size, h, w, num_workers: int = 4):
-    """Yield (names, images [B,H,W,3] float32) batches from image files.
-    Corrupt/unreadable files are skipped with a note (the reference
-    dataset's skip-on-corrupt behavior, dataset/dataset_lmdb.py:173-177)."""
+    """Yield (names, images [B,H,W,3] float32) batches from image files;
+    file IO + decode both run on the pool."""
 
     def load(p):
         try:
@@ -80,29 +109,10 @@ def iter_file_batches(paths, batch_size, h, w, num_workers: int = 4):
                 img = decode_image(f.read())
         except OSError:
             img = None
-        if img is None:
-            print(f"[predict] skipping unreadable image {p!r}", file=sys.stderr)
-            return None
-        return resize_normalize(img, h, w)
+        return None if img is None else resize_normalize(img, h, w)
 
-    # chunked map: bounds decoded-image memory at O(chunk) even when the
-    # consumer (device inference) is slower than the decode threads —
-    # Executor.map over the full list would buffer every completed result
-    chunk = max(batch_size * 8, 64)
-    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
-        names, imgs = [], []
-        for start in range(0, len(paths), chunk):
-            part = paths[start:start + chunk]
-            for p, img in zip(part, pool.map(load, part)):
-                if img is None:
-                    continue
-                names.append(p)
-                imgs.append(img)
-                if len(imgs) == batch_size:
-                    yield names, np.stack(imgs)
-                    names, imgs = [], []
-        if imgs:
-            yield names, np.stack(imgs)
+    yield from _prep_batches(((p, p) for p in paths), load,
+                             batch_size, num_workers, "image")
 
 
 def iter_lmdb_batches(data_paths, batch_size, cfg, num_workers: int = 4):
@@ -115,9 +125,10 @@ def iter_lmdb_batches(data_paths, batch_size, cfg, num_workers: int = 4):
     would misattribute predictions here).
 
     Record fetches stay on the main thread (the lmdb-pkg backend shares
-    one txn, which is not thread-safe); the expensive cv2 decode+resize
-    is chunk-mapped over a thread pool like `iter_file_batches`, so the
-    device never idles on host decode."""
+    one txn, which is not thread-safe — the lazy `pairs` generator is
+    pulled chunk-at-a-time by `_prep_batches`); the expensive cv2
+    decode+resize runs on the thread pool, so the device never idles on
+    host decode."""
     from dig_tpu.data.lmdb_store import LmdbReader
 
     def prep(buf):
@@ -125,27 +136,21 @@ def iter_lmdb_batches(data_paths, batch_size, cfg, num_workers: int = 4):
         return None if img is None else resize_normalize(
             img, cfg.input_h, cfg.input_w)
 
-    chunk = max(batch_size * 8, 64)
-    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
-        for path in data_paths:
-            reader = LmdbReader(path)
-            n = int(reader.get(b"num-samples"))
-            names, imgs = [], []
-            for start in range(1, n + 1, chunk):
-                idxs = range(start, min(start + chunk, n + 1))
-                bufs = [reader.get(b"image-%09d" % i) for i in idxs]
-                for i, img in zip(idxs, pool.map(prep, bufs)):
-                    if img is None:
-                        print(f"[predict] skipping unreadable record "
-                              f"'{path}#{i}'", file=sys.stderr)
-                        continue
-                    names.append(f"{path}#{i}")
-                    imgs.append(img)
-                    if len(imgs) == batch_size:
-                        yield names, np.stack(imgs)
-                        names, imgs = [], []
-            if imgs:
-                yield names, np.stack(imgs)
+    for path in data_paths:
+        reader = LmdbReader(path)
+        try:
+            n_raw = reader.get(b"num-samples")
+            if n_raw is None:
+                raise ValueError(
+                    f"{path!r} has no 'num-samples' key — not a "
+                    f"reference-schema LMDB (tools/create_lmdb.py writes "
+                    f"it; dataset/dataset_lmdb.py:30 requires it too)")
+            pairs = ((f"{path}#{i}", reader.get(b"image-%09d" % i))
+                     for i in range(1, int(n_raw) + 1))
+            yield from _prep_batches(pairs, prep, batch_size, num_workers,
+                                     "record")
+        finally:
+            reader.close()
 
 
 def make_predict_fn(model, cfg, eos: int):

@@ -28,8 +28,7 @@ import numpy as np
 
 from dig_tpu.config import PretrainConfig, config_to_json, parse_config
 from dig_tpu.data.dataset import build_pretraining_dataset
-from dig_tpu.data.pipeline import DataLoader, make_train_loader
-from dig_tpu.data.samplers import ShardedSampler
+from dig_tpu.data.pipeline import device_prefetch, make_train_loader
 from dig_tpu.models.registry import create_model
 from dig_tpu.optim import make_optimizer
 from dig_tpu.parallel.mesh import create_mesh, shard_batch
@@ -160,8 +159,6 @@ def main(cfg: PretrainConfig):
     tracer = StepTraceWindow(os.path.join(cfg.output_dir, "profile"),
                              cfg.profile_steps, cfg.profile_start_step)
 
-    from dig_tpu.data.pipeline import device_prefetch
-
     def to_device(item):
         ori, aug, mask = item
         if view_fn is not None:
@@ -182,7 +179,9 @@ def main(cfg: PretrainConfig):
                 batch = view_fn(vsub, batch["images"])
             state, metrics = step_fn(state, batch, sub)
             tracer.tick()
-            if guard.sync_should_stop():
+            # every=25: bounded-latency consensus (~seconds) without a
+            # host-blocking collective per step (see sync_should_stop)
+            if guard.sync_should_stop(step=it, every=25):
                 # preemption: flush at the step boundary, exit clean
                 # (extra epoch-1 => auto-resume redoes this epoch).
                 # sync_: all hosts agree to stop even when the SIGTERM

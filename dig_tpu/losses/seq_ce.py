@@ -39,6 +39,21 @@ def seq_cross_entropy(
     return out
 
 
+def seq_cross_entropy_rows(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-sample masked NLL sums, shape [B] — the unreduced form of
+    `seq_cross_entropy(sample_normalize=True)` (mean of this == that).
+    Used by eval, where static-shape padding rows must be dropped on the
+    host before averaging."""
+    mask = _length_mask(targets, lengths)
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logprobs, targets[..., None].astype(jnp.int32), axis=-1)
+    return jnp.sum(nll[..., 0] * mask, axis=-1)
+
+
 def seq_label_smoothing_cross_entropy(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

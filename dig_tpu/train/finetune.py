@@ -14,7 +14,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from dig_tpu.losses.seq_ce import seq_cross_entropy, seq_label_smoothing_cross_entropy
+from dig_tpu.losses.seq_ce import (
+    seq_cross_entropy,
+    seq_cross_entropy_rows,
+    seq_label_smoothing_cross_entropy,
+)
 from dig_tpu.parallel.mesh import batch_sharding
 from dig_tpu.train.state import TrainState
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -238,7 +242,11 @@ def make_ctc_eval_step(model, mesh=None):
 
     def eval_step(params, batch):
         logits = model.apply({"params": params}, batch["images"], True)
-        return jnp.argmax(logits, axis=-1), jnp.float32(0.0)
+        # per-ROW zeros: eval losses are row vectors so callers can drop
+        # static-shape padding rows (CTC reports no eval loss, like the
+        # reference's beam path)
+        loss = jnp.zeros((batch["images"].shape[0],), jnp.float32)
+        return jnp.argmax(logits, axis=-1), loss
 
     if mesh is None:
         return jax.jit(eval_step)
@@ -264,10 +272,13 @@ def make_eval_step(model, beam_width: int = 0, eos: int = 94, mesh=None):
             method=model.recognize
         )
         if probs is not None:
-            # reference logs SeqCE applied to the softmax outputs (:249)
-            loss = seq_cross_entropy(jnp.log(probs + 1e-9), targets, lens)
+            # reference logs SeqCE applied to the softmax outputs (:249).
+            # Per-ROW losses, so callers can drop the static-shape padding
+            # rows of a partial batch before averaging (a reduced-on-device
+            # mean would bake the pad rows' NLL into the printed loss).
+            loss = seq_cross_entropy_rows(jnp.log(probs + 1e-9), targets, lens)
         else:
-            loss = jnp.float32(0.0)
+            loss = jnp.zeros((targets.shape[0],), jnp.float32)
         return ids, loss
 
     if mesh is None:

@@ -163,8 +163,17 @@ def save_checkpoint(output_dir: str, tag, state, extra: Optional[dict] = None):
     meta = {"step": int(state.step)}
     if extra:
         meta["extra"] = extra
-    with _fs_open(_join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    # meta.json is the commit marker (checked by numeric_checkpoints):
+    # written last, and atomically for local paths, so a checkpoint is
+    # either complete or invisible to auto-resume
+    if _is_remote(path):
+        with _fs_open(_join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    else:
+        tmp = os.path.join(path, "tmp_meta.json")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
     return path
 
 
@@ -213,18 +222,39 @@ def _list_dir_names(output_dir: str) -> Optional[list]:
     return None
 
 
-def latest_checkpoint(output_dir: str) -> Optional[str]:
-    """Highest-numbered ``checkpoint-N`` dir (reference regex scan,
-    utils/utils.py:592-601).  Remote URIs are listed through fsspec."""
+def _has_meta(path: str) -> bool:
+    """meta.json is written LAST by save_checkpoint, so its presence is
+    the checkpoint's commit marker: a save killed mid-write (preemption
+    second-signal force-kill, relay outage) leaves a dir without it, and
+    such partial checkpoints must never shadow older intact ones."""
+    if _is_remote(path):
+        import fsspec
+
+        fs, root = fsspec.core.url_to_fs(path)
+        return fs.exists(f"{root}/meta.json")
+    return os.path.exists(os.path.join(path, "meta.json"))
+
+
+def numeric_checkpoints(output_dir: str) -> list:
+    """Complete (meta.json-bearing) ``checkpoint-N`` paths, newest first."""
     names = _list_dir_names(output_dir)
     if names is None:
-        return None
-    best, best_n = None, -1
-    for name in names:
-        m = re.fullmatch(r"checkpoint-(\d+)", name)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = name, int(m.group(1))
-    return _join(output_dir, best) if best else None
+        return []
+    numbered = sorted(
+        ((int(m.group(1)), n) for n in names
+         if (m := re.fullmatch(r"checkpoint-(\d+)", n))),
+        reverse=True,
+    )
+    return [_join(output_dir, n) for _, n in numbered
+            if _has_meta(_join(output_dir, n))]
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Highest-numbered COMPLETE ``checkpoint-N`` dir (reference regex
+    scan, utils/utils.py:592-601, plus the meta.json commit-marker
+    filter).  Remote URIs are listed through fsspec."""
+    paths = numeric_checkpoints(output_dir)
+    return paths[0] if paths else None
 
 
 def prune_checkpoints(output_dir: str, keep: int):
@@ -270,46 +300,67 @@ def prune_checkpoints(output_dir: str, keep: int):
 
 
 def auto_resume(output_dir: str, state):
-    """Restore the latest checkpoint into `state` if one exists; returns
-    (state, start_epoch_extra_dict).
+    """Restore the newest restorable checkpoint into `state`; returns
+    (state, start_epoch_extra_dict).  Falls back to older checkpoints
+    when the newest is corrupt instead of silently starting fresh.
 
     Multi-process: every host scans `output_dir` itself, which is only
     consistent on shared storage (gs://, NFS — the reference makes the
     same assumption, utils/utils.py:581-651).  A cross-host check fails
-    fast when hosts resolve different checkpoints — silently diverging
+    fast when hosts resolve different listings, and each candidate is
+    adopted only by unanimous restore success — silently diverging
     (one host resumes epoch N, another starts fresh) would deadlock the
     first collective or corrupt training."""
-    path = latest_checkpoint(output_dir)
-    if jax.process_count() > 1:
+    candidates = numeric_checkpoints(output_dir)
+    multi = jax.process_count() > 1
+    if multi:
         import hashlib
 
         from jax.experimental import multihost_utils
 
-        digest = hashlib.sha256(f"{path or ''}".encode()).digest()
+        digest = hashlib.sha256("|".join(candidates).encode()).digest()
         tags = np.asarray(multihost_utils.process_allgather(
             np.frombuffer(digest, dtype=np.uint8)))
         if len({row.tobytes() for row in tags.reshape(-1, len(digest))}) != 1:
             raise RuntimeError(
-                f"auto-resume: hosts disagree on the latest checkpoint "
-                f"(this host resolved {path!r}) — output_dir must be "
-                f"shared storage (gs://...) on multi-host runs")
-    if path is None:
-        return state, None
-    try:
-        payload = restore_checkpoint(path)
-    except Exception as e:  # tolerate partial checkpoints like the reference
-        print(f"auto-resume failed for {path}: {e}")
-        return state, None
-    import jax.numpy as jnp
+                f"auto-resume: hosts disagree on the checkpoint listing "
+                f"(this host resolved {candidates!r}) — output_dir must "
+                f"be shared storage (gs://...) on multi-host runs")
+    # newest first, falling back past corrupt checkpoints (a save killed
+    # mid-write must not cost the run everything older).  Multi-process:
+    # hosts stay in lockstep — a candidate is used only when EVERY host
+    # restored it; one host silently starting fresh while others resume
+    # would deadlock the first collective or diverge training.
+    for path in candidates:
+        try:
+            payload = restore_checkpoint(path)
+            ok = True
+        except Exception as e:  # tolerate partial checkpoints like the reference
+            print(f"auto-resume failed for {path}: {e}")
+            payload, ok = None, False
+        if multi:
+            from jax.experimental import multihost_utils
 
-    state = state.replace(
-        params=payload["params"],
-        opt_state=payload["opt_state"],
-        step=jnp.asarray(payload["step"], jnp.int32),
-        ema_params=payload.get("ema_params", state.ema_params),
-    )
-    print(f"auto-resumed from {path}")
-    return state, payload.get("extra")
+            all_ok = np.asarray(multihost_utils.process_allgather(
+                np.asarray([ok], np.int32)))
+            if not all_ok.all():
+                if ok:
+                    print(f"auto-resume: skipping {path} — another host "
+                          f"failed to restore it")
+                continue
+        elif not ok:
+            continue
+        import jax.numpy as jnp
+
+        state = state.replace(
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            step=jnp.asarray(payload["step"], jnp.int32),
+            ema_params=payload.get("ema_params", state.ema_params),
+        )
+        print(f"auto-resumed from {path}")
+        return state, payload.get("extra")
+    return state, None
 
 
 # ---------------------------------------------------------------------------

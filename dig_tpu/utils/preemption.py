@@ -43,7 +43,7 @@ class PreemptionGuard:
     def should_stop(self) -> bool:
         return self._stop
 
-    def sync_should_stop(self) -> bool:
+    def sync_should_stop(self, step: int = 0, every: int = 1) -> bool:
         """Cross-host stop decision: True iff ANY host caught a signal.
 
         A preemption SIGTERM may reach only some workers; if the signaled
@@ -52,11 +52,22 @@ class PreemptionGuard:
         would hang at their next collective.  COLLECTIVE when
         process_count > 1 — every host must poll it at the same step
         boundary (both CLIs do).  Single-process reduces to the local
-        flag with zero overhead."""
+        flag with zero overhead.
+
+        The allgather blocks the host thread, so a per-step poll would
+        destroy the dispatch runahead that hides host latency on pods;
+        `every=N` runs the collective only when ``step % N == 0`` and
+        returns False otherwise.  The schedule must be DETERMINISTIC
+        across hosts (never gate it on the local flag — one host polling
+        off-schedule deadlocks the others), so stop latency is bounded by
+        N steps: keep N·step_time well inside the eviction grace window
+        (tens of seconds on TPU pods / GCE spot)."""
         import jax
 
         if jax.process_count() == 1:
             return self._stop
+        if every > 1 and step % every:
+            return False
         import numpy as np
         from jax.experimental import multihost_utils
 

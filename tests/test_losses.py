@@ -35,6 +35,26 @@ def test_seq_ce_matches_golden():
     assert np.isclose(float(got), _ref_seq_ce(logits, targets, lengths), atol=1e-5)
 
 
+def test_seq_ce_rows_mean_equals_reduced():
+    """The per-row form (used by eval to drop static-shape pad rows)
+    reduces to the sample-normalized scalar, and a pad row (targets=0,
+    len=1) contributes exactly its own NLL — droppable on the host."""
+    from dig_tpu.losses.seq_ce import seq_cross_entropy_rows
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(4, 6, 10)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, 10, size=(4, 6)).astype(np.int32))
+    lengths = jnp.asarray(np.array([6, 3, 1, 2], np.int32))
+    rows = seq_cross_entropy_rows(logits, targets, lengths)
+    assert rows.shape == (4,)
+    assert np.isclose(float(rows.mean()),
+                      float(seq_cross_entropy(logits, targets, lengths)),
+                      atol=1e-5)
+    # dropping a row == the scalar over the remaining rows
+    sub = seq_cross_entropy(logits[:3], targets[:3], lengths[:3])
+    assert np.isclose(float(rows[:3].mean()), float(sub), atol=1e-5)
+
+
 def test_label_smoothing_reduces_to_ce_at_zero():
     rng = np.random.default_rng(1)
     logits = jnp.asarray(rng.normal(size=(2, 4, 7)).astype(np.float32))

@@ -86,7 +86,7 @@ def test_mim_recognize_greedy():
     }
     ids, loss = eval_fn(state.params, batch)
     assert ids.shape == (2, 25)
-    assert np.isfinite(float(loss))
+    assert loss.shape == (2,) and np.isfinite(np.asarray(loss)).all()
 
 
 def test_mim_rec_rejects_feat_distill():

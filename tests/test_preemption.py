@@ -126,3 +126,12 @@ def test_sync_should_stop_cross_host(monkeypatch):
     monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
     assert guard.sync_should_stop() is True
     assert calls and calls[0][0] == 0  # local flag was still unset
+
+    # off-schedule steps skip the collective entirely (deterministic
+    # interval — one host must never poll when the others don't)
+    n_calls = len(calls)
+    assert guard.sync_should_stop(step=7, every=25) is False
+    assert len(calls) == n_calls
+    # on-schedule steps run it
+    assert guard.sync_should_stop(step=50, every=25) is True
+    assert len(calls) == n_calls + 1

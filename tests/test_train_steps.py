@@ -140,6 +140,7 @@ def test_finetune_overfit_and_eval():
 
     eval_fn = make_eval_step(model, beam_width=0, eos=eos)
     ids, loss = eval_fn(state.params, batch)
+    assert loss.shape == (b,)
     ids = np.asarray(ids)
     # overfit: greedy decode should reproduce the target strings
     correct = 0

@@ -211,6 +211,81 @@ def test_remote_checkpoint_roundtrip_memory_fs():
     assert latest_checkpoint("memory://ckpt_test/does_not_exist") is None
 
 
+def test_auto_resume_skips_partial_and_falls_back(tmp_path):
+    """A save killed mid-write (no meta.json commit marker, or corrupt
+    arrays) must not shadow older intact checkpoints: latest_checkpoint
+    ignores marker-less dirs and auto_resume falls back newest-first past
+    corrupt ones instead of silently starting fresh."""
+    import jax.numpy as jnp
+    import optax
+
+    from dig_tpu.train.state import TrainState
+    from dig_tpu.utils.checkpoint import (
+        auto_resume,
+        latest_checkpoint,
+        save_checkpoint,
+    )
+
+    params = {"w": jnp.arange(4, dtype=jnp.float32)}
+    state = TrainState.create(params, optax.sgd(0.1))
+    good = save_checkpoint(str(tmp_path), 2, state, extra={"epoch": 2})
+
+    # partial checkpoint: dir exists, arrays written, NO meta.json yet
+    partial = tmp_path / "checkpoint-5"
+    partial.mkdir()
+    (partial / "arrays.npz").write_bytes(b"truncated")
+    assert latest_checkpoint(str(tmp_path)) == good
+
+    # corrupt but "complete" checkpoint (meta present, arrays garbage):
+    # restore fails -> fall back to checkpoint-2, not to a fresh state
+    (partial / "treedef.pkl").write_bytes(b"garbage")
+    (partial / "meta.json").write_text('{"step": 5}')
+    fresh = TrainState.create(
+        {"w": jnp.zeros(4, jnp.float32)}, optax.sgd(0.1))
+    resumed, extra = auto_resume(str(tmp_path), fresh)
+    assert extra == {"epoch": 2}
+    np.testing.assert_array_equal(np.asarray(resumed.params["w"]),
+                                  np.arange(4, dtype=np.float32))
+
+
+def test_auto_resume_multihost_unanimity(tmp_path, monkeypatch):
+    """A candidate restored by only SOME hosts is skipped by all (one
+    host resuming while another starts fresh would deadlock the first
+    collective); the next-older checkpoint is adopted unanimously."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.experimental import multihost_utils
+
+    from dig_tpu.train.state import TrainState
+    from dig_tpu.utils import checkpoint as ckpt
+
+    params = {"w": jnp.arange(4, dtype=jnp.float32)}
+    state = TrainState.create(params, optax.sgd(0.1))
+    ckpt.save_checkpoint(str(tmp_path), 1, state, extra={"epoch": 1})
+    ckpt.save_checkpoint(str(tmp_path), 2, state, extra={"epoch": 2})
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    def fake_allgather(x):
+        arr = np.asarray(x)
+        if arr.dtype == np.int32 and arr.shape == (1,):
+            # restore-success vote: this host succeeded, the "other"
+            # host failed on checkpoint-2, succeeded on checkpoint-1
+            fake_allgather.calls += 1
+            other = 0 if fake_allgather.calls == 1 else arr[0]
+            return np.stack([arr, np.asarray([other], np.int32)])
+        return np.stack([arr, arr])  # listing hash: agreement
+
+    fake_allgather.calls = 0
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+
+    fresh = TrainState.create({"w": jnp.zeros(4, jnp.float32)}, optax.sgd(0.1))
+    resumed, extra = ckpt.auto_resume(str(tmp_path), fresh)
+    assert extra == {"epoch": 1}
+    assert fake_allgather.calls == 2
+
+
 def test_prune_checkpoints(tmp_path):
     """--keep_ckpt_max retention: oldest numeric checkpoints removed, the
     newest N plus every non-numeric tag (best, mid-epoch) kept; 0 = keep
