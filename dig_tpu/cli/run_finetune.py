@@ -27,7 +27,7 @@ from dig_tpu.data.dataset import build_dataset
 from dig_tpu.data.pipeline import DataLoader, make_train_loader
 from dig_tpu.data.samplers import ShardedSampler
 from dig_tpu.metrics.text import accuracy as word_accuracy
-from dig_tpu.metrics.text import recognition_f_measure
+from dig_tpu.metrics.text import multi_label_f_measure, recognition_f_measure
 from dig_tpu.models.rec_model import build_rec_model
 from dig_tpu.optim import make_optimizer
 from dig_tpu.parallel.mesh import create_mesh, host_local_rows, shard_batch
@@ -121,7 +121,8 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
     bs = cfg.batch_size * (jax.device_count() // jax.process_count())
     loader = DataLoader(ds, sampler, batch_size=bs, num_workers=cfg.num_workers,
                         drop_last=False)
-    n_correct, n_total, f_sum, loss_sum = 0, 0, 0.0, 0.0
+    n_correct, n_total, f_sum, loss_sum, ml_sum = 0, 0, 0.0, 0.0, 0.0
+    has_cls = False
     for images, targets, lens in loader:
         n = images.shape[0]
         if n < bs:  # pad to static shape
@@ -135,7 +136,8 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
             batch = shard_batch(mesh, batch)
         else:
             batch = jax.tree_util.tree_map(jnp.asarray, batch)
-        ids, loss = eval_fn(params, batch)
+        out = eval_fn(params, batch)
+        ids, loss = out[0], out[1]
         ids = host_local_rows(ids)[:n]
         acc = (accuracy_fn or word_accuracy)(ids, targets[:n], charset)
         f = recognition_f_measure(ids, targets[:n], charset)
@@ -146,6 +148,14 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
         # accumulating, or the pad rows' NLL skews the printed loss on
         # every set not divisible by the batch size
         loss_sum += float(np.asarray(host_local_rows(loss))[:n].sum())
+        if len(out) == 3:  # seq_cls: char-presence multi-label F-measure
+            # (≙ engine_for_finetuning.py:262-267: one-hot over ALL target
+            # positions incl. padding ids, like the reference)
+            has_cls = True
+            cls_logit = np.asarray(host_local_rows(out[2]))[:n]
+            presence = np.zeros((n, cls_logit.shape[-1]), np.float32)
+            presence[np.arange(n)[:, None], targets[:n]] = 1.0
+            ml_sum += multi_label_f_measure(cls_logit, presence) * n
     if cfg.dist_eval and jax.process_count() > 1:
         # cross-host metric reduction (≙ metric_logger.synchronize_between_processes,
         # engine_for_finetuning.py:276); without --dist_eval every host
@@ -153,17 +163,24 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
         from jax.experimental import multihost_utils
 
         sums = multihost_utils.process_allgather(
-            np.array([n_correct, n_total, f_sum, loss_sum])
+            np.array([n_correct, n_total, f_sum, loss_sum, ml_sum])
         )
         # plain python floats: np.float32 scalars would later poison the
         # json.dump of eval results / checkpoint meta
-        n_correct, n_total, f_sum, loss_sum = (
+        n_correct, n_total, f_sum, loss_sum, ml_sum = (
             float(x) for x in sums.sum(axis=0))
     acc = n_correct / max(n_total, 1)
     print(f"* {data_path}: {int(n_total)} images, Acc {acc:.4f} "
           f"loss {loss_sum / max(n_total, 1):.4f} "
           f"Rec_fmeasure {f_sum / max(n_total, 1):.4f}")
-    return {"acc": acc, "n": int(n_total), "fmeasure": f_sum / max(n_total, 1)}
+    result = {"acc": acc, "n": int(n_total),
+              "fmeasure": f_sum / max(n_total, 1)}
+    if has_cls:
+        # ≙ the reference's extra line when cls_logit is present
+        # (engine_for_finetuning.py:279-280)
+        result["multi_label_fmeasure"] = ml_sum / max(n_total, 1)
+        print(f"F_measure: {result['multi_label_fmeasure']:.4f}")
+    return result
 
 
 def main(cfg: FinetuneConfig):
@@ -184,6 +201,12 @@ def main(cfg: FinetuneConfig):
         raise ValueError(
             f"--use_feat_distill requires --model_kind rec "
             f"(got {cfg.model_kind})")
+    if cfg.use_feat_distill and not cfg.teacher_ckpt and not cfg.eval:
+        # without a teacher the generic step would silently drop s_feat
+        # and train with the feat_proj MLP at zero gradient — the user
+        # believes they are distilling but are not
+        raise ValueError("--use_feat_distill requires --teacher_ckpt "
+                         "(the frozen encoder to distill from)")
 
     # GELU form must be fixed BEFORE any model code is traced (see
     # dig_tpu/ops/activations.py).  Auto: converted .pth weights were
@@ -214,7 +237,8 @@ def main(cfg: FinetuneConfig):
         accuracy_fn = ctc_accuracy
     else:
         eval_fn = make_eval_step(model, beam_width=cfg.beam_width,
-                                 eos=charset.eos_id, mesh=mesh)
+                                 eos=charset.eos_id, mesh=mesh,
+                                 with_cls=cfg.model_kind == "seq_cls")
         accuracy_fn = None
 
     if cfg.eval:

@@ -101,6 +101,12 @@ class PretrainConfig:
     def finalize(self, num_devices: int = 1):
         """Linear LR scaling: lr * total_batch / 256
         (run_mae_pretraining_moco.py:382)."""
+        if self.num_view != 2:
+            # the MoCo graph is two-view by construction (ori+aug concat
+            # chunked into q1/q2), exactly like the reference's MoCo_ViT
+            # (modeling_pretrain_moco_mim_ori.py:488-553) — fail fast
+            # instead of a shape error deep inside the jitted encoder
+            raise ValueError(f"--num_view must be 2 (got {self.num_view})")
         total_bs = self.batch_size * num_devices
         self.absolute_lr = self.lr * total_bs / 256.0
         if self.weight_decay_end is None:

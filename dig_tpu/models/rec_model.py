@@ -42,6 +42,22 @@ class LinearNorm(nn.Module):
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
 
 
+def _greedy_or_beam(decoder, dec_in, beam_width: int, eos: int):
+    """Shared decode dispatch for all recognizer heads.
+
+    Beam when beam_width > 0 (the KV-cached beam beats dense recompute:
+    the beam folding already yields big batches, see decoder.py).  Greedy
+    uses the dense full-prefix variant on TPU (MXU-friendly shapes) and
+    the KV-cached scan elsewhere — numerically the same decode
+    (tests/test_decoder.py).  eos < 0 disables greedy early exit
+    (fixed-length decode)."""
+    if beam_width > 0:
+        return None, decoder.beam_search(dec_in, beam_width, eos)
+    if jax.default_backend() == "tpu":
+        return decoder.greedy_decode_dense(dec_in, eos=eos if eos >= 0 else None)
+    return decoder.greedy_decode(dec_in)
+
+
 class RecModel(nn.Module):
     encoder: nn.Module
     decoder: TFDecoder
@@ -91,26 +107,10 @@ class RecModel(nn.Module):
         return self._raw_encode(images, deterministic)
 
     def recognize(self, images, beam_width: int = 0, eos: int = 94):
-        """Inference: greedy or beam search.
-        Returns (probs [B, T, C] or None, ids [B, T]).
-
-        Greedy uses the dense full-prefix variant on TPU (MXU-friendly
-        shapes) and the KV-cached scan elsewhere — both are numerically
-        the same decode (tests/test_decoder.py)."""
-        import jax as _jax
-
-        dec_in = self._encode(images, True)
-        if beam_width > 0:
-            # measured: the KV-cached beam beats dense recompute here (the
-            # beam folding already yields big batches; see decoder.py)
-            ids = self.decoder.beam_search(dec_in, beam_width, eos)
-            return None, ids
-        if _jax.default_backend() == "tpu":
-            # eos < 0 disables early exit (fixed-length scan decode)
-            return self.decoder.greedy_decode_dense(
-                dec_in, eos=eos if eos >= 0 else None
-            )
-        return self.decoder.greedy_decode(dec_in)
+        """Inference: greedy or beam search (shared dispatch).
+        Returns (probs [B, T, C] or None, ids [B, T])."""
+        return _greedy_or_beam(self.decoder, self._encode(images, True),
+                               beam_width, eos)
 
 
 class CTCRecModel(nn.Module):
@@ -206,16 +206,8 @@ class MimRecModel(nn.Module):
         """Inference: unmasked encoder -> greedy/beam decode (the
         reference's eval path sets tgt=None with mask absent,
         models/model_builder.py:277-289).  Returns (probs or None, ids)."""
-        import jax as _jax
-
         dec_in = self.linear_norm(self.encoder(images, deterministic=True))
-        if beam_width > 0:
-            return None, self.decoder.beam_search(dec_in, beam_width, eos)
-        if _jax.default_backend() == "tpu":
-            return self.decoder.greedy_decode_dense(
-                dec_in, eos=eos if eos >= 0 else None
-            )
-        return self.decoder.greedy_decode(dec_in)
+        return _greedy_or_beam(self.decoder, dec_in, beam_width, eos)
 
 
 class SeqClsTokenRecModel(nn.Module):
@@ -298,29 +290,36 @@ class SeqClsRecModel(nn.Module):
             logits = self.decoder(dec_in, targets, tgt_lens, deterministic=deterministic)
         return logits, cls_logit, cls_maps
 
-    def recognize(self, images, beam_width: int = 0, eos: int = 94):
+    def recognize(self, images, beam_width: int = 0, eos: int = 94,
+                  with_cls: bool = False):
         """Inference through the decoupled graph (the reference's
         forward_test/beam_search also run the decoupled `_attention`;
         models/decoder.py:224-252, :254-370, :415-436).
-        Returns (probs [B, T, C] or None, ids [B, T])."""
+        Returns (probs [B, T, C] or None, ids [B, T]); with_cls appends
+        the char-presence logits [B, nb_classes], which the reference's
+        evaluate consumes for the multi-label F-measure
+        (engine_for_finetuning.py:262-269)."""
         from dig_tpu.models.decoder import DecoupledTFDecoder
 
         enc = self.encoder(images, deterministic=True)
-        _, cls_maps = self.multi_label(enc, True)
+        cls_logit, cls_maps = self.multi_label(enc, True)
         dec_in = self.linear_norm(enc)
         if isinstance(self.decoder, DecoupledTFDecoder):
             if beam_width > 0:
-                return None, self.decoder.decoupled_beam_search(
+                out = None, self.decoder.decoupled_beam_search(
                     dec_in, cls_maps, beam_width, eos
                 )
-            return self.decoder.decoupled_greedy_decode(
-                dec_in, cls_maps, eos=eos if eos >= 0 else None
+            else:
+                out = self.decoder.decoupled_greedy_decode(
+                    dec_in, cls_maps, eos=eos if eos >= 0 else None
+                )
+        elif beam_width > 0:
+            out = None, self.decoder.beam_search(dec_in, beam_width, eos)
+        else:
+            out = self.decoder.greedy_decode_dense(
+                dec_in, eos=eos if eos >= 0 else None
             )
-        if beam_width > 0:
-            return None, self.decoder.beam_search(dec_in, beam_width, eos)
-        return self.decoder.greedy_decode_dense(
-            dec_in, eos=eos if eos >= 0 else None
-        )
+        return (*out, cls_logit) if with_cls else out
 
 
 def build_rec_model(

@@ -255,7 +255,8 @@ def make_ctc_eval_step(model, mesh=None):
     return jax.jit(eval_step, in_shardings=(None, shardings))
 
 
-def make_eval_step(model, beam_width: int = 0, eos: int = 94, mesh=None):
+def make_eval_step(model, beam_width: int = 0, eos: int = 94, mesh=None,
+                   with_cls: bool = False):
     # Greedy eval decodes FULL length (eos=-1 disables the early-exit
     # while_loop): the logged loss applies seq CE to the per-step softmax
     # over the whole target mask, and early exit would leave positions
@@ -267,10 +268,20 @@ def make_eval_step(model, beam_width: int = 0, eos: int = 94, mesh=None):
 
     def eval_step(params, batch):
         images, targets, lens = batch["images"], batch["targets"], batch["lengths"]
-        probs, ids = model.apply(
-            {"params": params}, images, beam_width, greedy_eos,
-            method=model.recognize
-        )
+        cls_logit = None
+        if with_cls:
+            # SeqClsRecModel: also surface the char-presence logits for
+            # the eval-side multi-label F-measure (the reference computes
+            # it whenever cls_logit is returned, engine_for_finetuning.py:262-269)
+            probs, ids, cls_logit = model.apply(
+                {"params": params}, images, beam_width, greedy_eos, True,
+                method=model.recognize
+            )
+        else:
+            probs, ids = model.apply(
+                {"params": params}, images, beam_width, greedy_eos,
+                method=model.recognize
+            )
         if probs is not None:
             # reference logs SeqCE applied to the softmax outputs (:249).
             # Per-ROW losses, so callers can drop the static-shape padding
@@ -279,6 +290,8 @@ def make_eval_step(model, beam_width: int = 0, eos: int = 94, mesh=None):
             loss = seq_cross_entropy_rows(jnp.log(probs + 1e-9), targets, lens)
         else:
             loss = jnp.zeros((targets.shape[0],), jnp.float32)
+        if with_cls:
+            return ids, loss, cls_logit
         return ids, loss
 
     if mesh is None:

@@ -84,6 +84,15 @@ def make_pretrain_step(
         mask = batch["mask"]
         b = images.shape[0]
         n_views = mask.shape[1]
+        # the graph is 2-view by construction, exactly like the
+        # reference's MoCo_ViT (concat(ori, aug) chunked into q1/q2,
+        # modeling_pretrain_moco_mim_ori.py:488-553); any other mask
+        # width would mis-broadcast deep inside the encoder
+        if n_views != 2:
+            raise ValueError(
+                f"pretrain step requires num_view == 2 (got mask "
+                f"[B, {n_views}, N]) — the MoCo graph is two-view by "
+                f"construction, like the reference's MoCo_ViT")
 
         step = jnp.minimum(state.step, mom_arr.shape[0] - 1)
         m = mom_arr[step]
@@ -141,7 +150,12 @@ def make_pretrain_step(
             if model.use_pixel_target:
                 targets = mim_pixel_targets(
                     images, model.patch_size, normalize_target
-                )  # [B, N, p^2*3] — targets always come from the ORI view
+                )  # [B, N, p^2*3] — targets always come from the ORI view,
+                # even for the aug view's loss when only_mim_on_ori_img is
+                # off: REFERENCE PARITY, the reference builds images_patch
+                # from `images` only and scores every view against it
+                # (engine_for_pretraining_moco.py:85-109), geometric aug
+                # misalignment included
                 preds = out["pix_pred"]  # [2B, N, p^2*3]
                 pred_views = jnp.split(preds, 2, axis=0)
                 n_loss_views = 1 if only_mim_on_ori_img else n_views

@@ -126,6 +126,25 @@ def test_seq_cls_rec_model_with_decoupled_decoder():
     assert logits.shape == (2, 5, 12)
     assert cls_logit.shape == (2, 12)
 
+    # eval surfaces the presence logits for the multi-label F-measure
+    # (with_cls; ≙ engine_for_finetuning.py:262-269) and the teacher-
+    # forced path and recognize agree on them (same deterministic branch)
+    from dig_tpu.metrics.text import multi_label_f_measure
+    from dig_tpu.train.finetune import make_eval_step
+
+    eval_fn = make_eval_step(model, beam_width=0, eos=-1, with_cls=True)
+    ids, loss, cls_eval = eval_fn(v["params"], batch)
+    assert ids.shape == (2, 5) and loss.shape == (2,)
+    assert cls_eval.shape == (2, 12)
+    logits_d, cls_det, _ = model.apply(
+        v, batch["images"], batch["targets"], batch["lengths"], True)
+    np.testing.assert_allclose(np.asarray(cls_eval), np.asarray(cls_det),
+                               rtol=2e-2, atol=2e-2)
+    presence = np.zeros((2, 12), np.float32)
+    presence[np.arange(2)[:, None], np.asarray(batch["targets"])] = 1.0
+    f = multi_label_f_measure(np.asarray(cls_eval), presence)
+    assert 0.0 <= f <= 1.0
+
 
 @pytest.mark.slow
 def test_update_freq_accumulation():
