@@ -5,45 +5,61 @@
 # transfer to recognition the way the reference claims (README.md:44-79),
 # measured by WORD ACCURACY on a held-out test set?
 #
-# Protocol (single v5e chip, ~2.5 h total):
-#   corpus A  — 40k unlabeled rendered words, 1500-word pool, easy regime
-#   corpus B  — 8k labeled + 3k test, 300-word pool, SHARED test pool
+# Protocol (single v5e chip; ~2.5 h at the default scale):
+#   corpus A  — unlabeled rendered words, large word pool, easy regime
+#   corpus B  — labeled + test split, small word pool, SHARED test pool
 #               (test words come from the training vocabulary on fresh
 #               renders — the regime of the real STR benchmarks, whose
 #               lexicons overlap the training corpora; a disjoint pool
 #               pins word accuracy to ~0 at this budget, see VALIDATION.md)
-#   pretrain  — ViT-tiny MoCo+MIM, 12 epochs on corpus A (unlabeled)
-#   arm 1     — finetune from scratch on corpus B, 60 epochs
+#   pretrain  — ViT-tiny MoCo+MIM on corpus A (unlabeled)
+#   arm 1     — finetune from scratch on corpus B
 #   arm 2     — identical recipe, --finetune <pretrain ckpt>
+#
+# Scale knobs (env vars; defaults = the full protocol):
+#   UNLABELED=40000 PRE_EPOCHS=12 LABELED=8000 TEST=3000 WORDS=300
+#   FT_EPOCHS=60
+# A ~25-min scaled run that still lands both arms at measurable word
+# accuracy: UNLABELED=24000 PRE_EPOCHS=10 LABELED=4000 TEST=1500
+#           WORDS=350 FT_EPOCHS=40 tools/validation_study.sh /tmp/s
 #
 # Usage: tools/validation_study.sh [WORKDIR]   (default /tmp/ssl_study)
 set -ex
 D=${1:-/tmp/ssl_study}
+UNLABELED=${UNLABELED:-40000}
+PRE_EPOCHS=${PRE_EPOCHS:-12}
+LABELED=${LABELED:-8000}
+TEST=${TEST:-3000}
+WORDS=${WORDS:-300}
+FT_EPOCHS=${FT_EPOCHS:-60}
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}
 cd "$(dirname "$0")/.."
 
 python tools/gen_synth.py "$D/corpusA" --easy --test_pool shared \
-  --train 40000 --labeled 100 --test 100 --train_words 1500 \
+  --train "$UNLABELED" --labeled 100 --test 100 --train_words 1500 \
   --test_words 10 --max_word_len 6 --seed 3
 python tools/gen_synth.py "$D/corpusB" --easy --test_pool shared \
-  --train 100 --labeled 8000 --test 3000 --train_words 300 \
+  --train 100 --labeled "$LABELED" --test "$TEST" --train_words "$WORDS" \
   --test_words 10 --max_word_len 6 --seed 5
 
 timeout 7200 python -m dig_tpu.cli.run_pretrain \
   --model pretrain_simmim_moco_ori_vit_tiny_patch4_32x128 \
-  --image_alone_path "$D/corpusA/train" --batch_size 128 --epochs 12 \
+  --image_alone_path "$D/corpusA/train" --batch_size 128 --epochs "$PRE_EPOCHS" \
   --warmup_steps 300 --device_aug --num_workers 8 \
   --output_dir "$D/pre" --save_ckpt_freq 1000 --eval_freq 0
 CK="$D/pre/$(ls "$D/pre" | grep -E '^checkpoint-[0-9]+$' | sort -t- -k2 -n | tail -1)"
 
+# Finetune arms skip checkpoint writes (--no_save_ckpt): this box's
+# device->host tunnel runs ~3 MB/s, and per-epoch best-ckpt saves would
+# dominate wall time without affecting the reported max accuracy.
 for ARM in scratch ssl; do
   EXTRA=""
   [ "$ARM" = ssl ] && EXTRA="--finetune $CK"
   timeout 9000 python -m dig_tpu.cli.run_finetune \
     --model vit_tiny_patch4_32x128 --decoder_name small_tf_decoder \
     --data_path "$D/corpusB/labeled" --eval_data_path "$D/corpusB/test" \
-    --batch_size 128 --epochs 60 --warmup_epochs 2 --num_workers 8 \
-    --lr 8e-4 $EXTRA \
+    --batch_size 128 --epochs "$FT_EPOCHS" --warmup_epochs 2 --num_workers 8 \
+    --lr 8e-4 $EXTRA --no_save_ckpt \
     --output_dir "$D/ft_$ARM" --save_ckpt_freq 1000 --eval_freq 0
 done
 
