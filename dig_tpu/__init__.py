@@ -11,7 +11,7 @@ is PyTorch/CUDA).  The framework covers:
   CTC decoders for scene-text recognition.
 * Multi-benchmark word-accuracy evaluation with greedy and beam decoding.
 * SPMD distribution over a `jax.sharding.Mesh` (data/fsdp/tensor axes),
-  host-sharded input pipelines, Orbax checkpointing and a native (C++)
+  host-sharded input pipelines, fast native checkpointing and a native (C++)
   LMDB store compatible with the reference's on-disk dataset schema.
 
 Design stance: functional train steps under `jax.jit` over a device mesh,

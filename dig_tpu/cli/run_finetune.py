@@ -170,8 +170,12 @@ def evaluate_benchmark(cfg, model, params, data_path, eval_fn, charset,
         n_correct, n_total, f_sum, loss_sum, ml_sum = (
             float(x) for x in sums.sum(axis=0))
     acc = n_correct / max(n_total, 1)
+    # beam eval computes no teacher-forced loss (0 by convention inside
+    # the step) — print n/a so a user can't misread "loss 0.0000"
+    loss_str = ("n/a" if getattr(cfg, "beam_width", 0) > 0
+                else f"{loss_sum / max(n_total, 1):.4f}")
     print(f"* {data_path}: {int(n_total)} images, Acc {acc:.4f} "
-          f"loss {loss_sum / max(n_total, 1):.4f} "
+          f"loss {loss_str} "
           f"Rec_fmeasure {f_sum / max(n_total, 1):.4f}")
     result = {"acc": acc, "n": int(n_total),
               "fmeasure": f_sum / max(n_total, 1)}
@@ -394,12 +398,20 @@ def main(cfg: FinetuneConfig):
                 # extra epoch-1 => auto-resume redoes this epoch's data
                 # pass with the (preserved) mid-epoch optimizer state.
                 # sync_: all hosts agree even on a single-host SIGTERM.
-                if cfg.output_dir and cfg.save_ckpt:
+                # Save regardless of --no_save_ckpt: the preemption
+                # checkpoint is a resume artifact, not a periodic one.
+                # Without an output_dir nothing can be saved — exit
+                # nonzero so wrapping scripts (set -e studies) don't
+                # report a partially-trained arm as completed.
+                if cfg.output_dir:
                     save_checkpoint(cfg.output_dir, epoch, state,
                                     extra={"epoch": epoch - 1})
-                print(f"[preemption] checkpointed at epoch {epoch} "
-                      f"step {it}; exiting")
-                sys.exit(0)
+                    print(f"[preemption] checkpointed at epoch {epoch} "
+                          f"step {it}; exiting")
+                    sys.exit(0)
+                print(f"[preemption] no output_dir to checkpoint to "
+                      f"(epoch {epoch} step {it}); exiting 143")
+                sys.exit(143)
             if it % print_freq == 0 or it == steps_per_epoch - 1:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 if not math.isfinite(host_metrics["loss"]):

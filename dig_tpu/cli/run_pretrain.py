@@ -190,9 +190,14 @@ def main(cfg: PretrainConfig):
                 if cfg.output_dir:
                     save_checkpoint(cfg.output_dir, epoch, state,
                                     extra={"epoch": epoch - 1})
-                print(f"[preemption] checkpointed at epoch {epoch} "
-                      f"step {it}; exiting")
-                sys.exit(0)
+                    print(f"[preemption] checkpointed at epoch {epoch} "
+                          f"step {it}; exiting")
+                    sys.exit(0)
+                # nothing saved: exit nonzero so wrappers don't count a
+                # partial run as complete
+                print(f"[preemption] no output_dir to checkpoint to "
+                      f"(epoch {epoch} step {it}); exiting 143")
+                sys.exit(143)
             if it % print_freq == 0 or it == steps_per_epoch - 1:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 if not math.isfinite(host_metrics["loss"]):

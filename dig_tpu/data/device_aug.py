@@ -248,11 +248,16 @@ def _down_up(images, factor):
 
 def _motion_blur(images, key, max_len=6.0):
     """Directional average over 7 bilinear taps along a random angle with
-    a random support length (CVMotionBlur, transforms.py:437-455)."""
+    a random support length (CVMotionBlur, transforms.py:437-455).
+    Support length ≙ the reference's kernel degree
+    ``max(int(beta(1,4)·degrees), 1)`` (transforms.py:440 via
+    sample_asym); length 1 keeps only the center tap (no blur), like the
+    reference's 1x1 kernel."""
     b = images.shape[0]
     k1, k2 = jax.random.split(key)
     ang = jax.random.uniform(k1, (b,), minval=-jnp.pi / 2, maxval=jnp.pi / 2)
-    length = jax.random.uniform(k2, (b,), minval=1.0, maxval=max_len)
+    length = jnp.maximum(
+        jnp.floor(jax.random.beta(k2, 1.0, 4.0, (b,)) * max_len), 1.0)
     dx, dy = jnp.cos(ang), jnp.sin(ang)
     taps = jnp.arange(-3, 4, dtype=jnp.float32)  # 7 taps
     # per-sample translation-only affine mats for each tap offset
@@ -314,18 +319,51 @@ def device_abi_augment(key, images: jnp.ndarray,
     geom_gate = jax.random.bernoulli(keys[4], p_geom, (b, 1, 1, 1))
     x = jnp.where(geom_gate, batched_projective_warp(x, h_mats), x)
 
-    # --- deterioration: noise + motion blur + pyramid rescale ---------------
-    var = jnp.abs(jax.random.normal(keys[5], (b, 1, 1, 1))) * 20.0
-    sigma = jnp.sqrt(jnp.maximum(var, 1.0)) / 127.5  # pixel-var -> [-1,1] std
-    noisy = x + jax.random.normal(keys[6], x.shape) * sigma
-    blurred = _motion_blur(noisy, keys[7])
-    f = jax.random.uniform(keys[8], (b, 1, 1, 1), minval=0.0, maxval=4.0)
-    # base pyramid is 4x the 32x128 input: factors 0-2 stay >= native res
-    rescaled = jnp.where(f < 2.5, blurred,
-                         jnp.where(f < 3.5, _down_up(blurred, 2),
-                                   _down_up(blurred, 4)))
+    # --- deterioration: {noise, motion blur, pyramid rescale} in a random
+    # order.  Magnitudes ≙ the reference's sample_asym = beta(1,4)·mag
+    # (transforms.py:188-189, 425, 440); order ≙ the reference's
+    # random.shuffle of the op list (transforms.py:483) — the reference
+    # freezes order + magnitudes once per RUN (sampled in
+    # CVDeterioration.__init__ and reused for every image), the host path
+    # here re-samples per image, and this device path re-samples
+    # magnitudes per sample and the order per BATCH (lax.switch over the
+    # 6 permutations: one branch executes, so runtime cost is one
+    # pipeline; per-sample order would triple the motion-blur warps).
+    def _op_noise(xx, key):
+        kv, kn = jax.random.split(key)
+        var = jnp.maximum(
+            jnp.floor(jax.random.beta(kv, 1.0, 4.0, (b, 1, 1, 1)) * 20.0), 1.0)
+        sigma = jnp.sqrt(var) / 127.5  # pixel-space var -> [-1,1] std
+        return xx + jax.random.normal(kn, xx.shape) * sigma
+
+    def _op_blur(xx, key):
+        return _motion_blur(xx, key)
+
+    def _op_rescale(xx, key):
+        # f = round(uniform(0,4)) (CVRescale, transforms.py:404): base
+        # pyramid is 4x the 32x128 input, so f<=2 stays >= native res
+        f = jax.random.uniform(key, (b, 1, 1, 1), minval=0.0, maxval=4.0)
+        return jnp.where(f < 2.5, xx,
+                         jnp.where(f < 3.5, _down_up(xx, 2),
+                                   _down_up(xx, 4)))
+
+    import itertools
+
+    ops = [_op_noise, _op_blur, _op_rescale]
+    op_keys = jax.random.split(keys[5], 3)
+
+    def _deter_branch(perm):
+        def run(xx):
+            for i in perm:
+                xx = ops[i](xx, op_keys[i])
+            return xx
+        return run
+
+    order = jax.random.randint(keys[6], (), 0, 6)
+    deteriorated = jax.lax.switch(
+        order, [_deter_branch(p) for p in itertools.permutations(range(3))], x)
     deter_gate = jax.random.bernoulli(keys[9], p_deter, (b, 1, 1, 1))
-    x = jnp.where(deter_gate, rescaled, x)
+    x = jnp.where(deter_gate, deteriorated, x)
 
     # --- color jitter incl. hue ---------------------------------------------
     u = (x + 1.0) * 0.5

@@ -113,6 +113,156 @@ def global_grad_norm(grads) -> jnp.ndarray:
     return optax.global_norm(grads)
 
 
+def _adamp_projection(p, g, perturb, delta, wd_ratio, eps):
+    """AdamP/SGDP tangent-space projection (clovaai AdamP `_projection`):
+    if a parameter looks scale-invariant (|cos(p, g)| small under the
+    channel view, else the layer view), remove the radial component of the
+    update and shrink its weight decay by `wd_ratio`.  Data-dependent in
+    torch (early return per view); here both views are evaluated and
+    selected with `where`, channel view taking priority like the
+    reference's loop order."""
+    import math
+
+    if p.ndim < 2:
+        return perturb, jnp.float32(1.0)
+
+    def try_view(view):
+        pv, gv, uv = view(p), view(g), view(perturb)
+        pn_ = jnp.linalg.norm(pv, axis=1)
+        gn_ = jnp.linalg.norm(gv, axis=1)
+        cos = jnp.abs((pv * gv).sum(axis=1)) / (pn_ * gn_ + eps)
+        hit = cos.max() < delta / math.sqrt(pv.shape[1])
+        p_n = pv / (pn_[:, None] + eps)
+        proj = (uv - p_n * (p_n * uv).sum(axis=1, keepdims=True)).reshape(
+            perturb.shape)
+        return hit, proj
+
+    hit_c, proj_c = try_view(lambda x: x.reshape(x.shape[0], -1))
+    hit_l, proj_l = try_view(lambda x: x.reshape(1, -1))
+    out = jnp.where(hit_c, proj_c, jnp.where(hit_l, proj_l, perturb))
+    ratio = jnp.where(hit_c | hit_l, jnp.float32(wd_ratio), jnp.float32(1.0))
+    return out, ratio
+
+
+def _scale_by_adamp(b1, b2, eps, delta=0.1, wd_ratio=0.01, nesterov=True):
+    """AdamP (reference: optim_factory.py:144 calls AdamP with
+    wd_ratio=0.01, nesterov=True).  State carries a per-leaf `wd_ratio`
+    tree that `create_optimizer` folds into the decoupled weight decay."""
+
+    def init(params):
+        z = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+        return {"mu": z(params), "nu": z(params),
+                "count": jnp.zeros((), jnp.int32),
+                "wd_ratio": jax.tree_util.tree_map(
+                    lambda _: jnp.float32(1.0), params)}
+
+    def update(grads, state, params):
+        count = state["count"] + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state["nu"], grads)
+
+        def perturb_of(m, v, g):
+            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
+            num = (b1 * m + (1 - b1) * g) if nesterov else m
+            return num / denom / bc1  # fold step_size = lr / bc1
+
+        pert = jax.tree_util.tree_map(perturb_of, mu, nu, grads)
+        proj = jax.tree_util.tree_map(
+            lambda p, g, u: _adamp_projection(p, g, u, delta, wd_ratio, eps),
+            params, grads, pert)
+        updates = jax.tree_util.tree_map(
+            lambda pr: pr[0], proj, is_leaf=lambda x: isinstance(x, tuple))
+        ratios = jax.tree_util.tree_map(
+            lambda pr: pr[1], proj, is_leaf=lambda x: isinstance(x, tuple))
+        return updates, {"mu": mu, "nu": nu, "count": count,
+                         "wd_ratio": ratios}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _scale_by_sgdp(momentum, delta=0.1, wd_ratio=0.1, nesterov=True):
+    """SGDP (reference: optim_factory.py:148).  Note the torch SGDP scales
+    weight decay by 1/(1-momentum) on top of the projection ratio — the
+    per-leaf `wd_ratio` tree here includes that factor."""
+
+    def init(params):
+        return {"buf": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32),
+                "wd_ratio": jax.tree_util.tree_map(
+                    lambda _: jnp.float32(1.0), params)}
+
+    def update(grads, state, params):
+        buf = jax.tree_util.tree_map(
+            lambda b, g: momentum * b + g, state["buf"], grads)
+        d_p = jax.tree_util.tree_map(
+            lambda g, b: (g + momentum * b) if nesterov else b, grads, buf)
+        proj = jax.tree_util.tree_map(
+            lambda p, g, u: _adamp_projection(p, g, u, delta, wd_ratio, 1e-8),
+            params, grads, d_p)
+        updates = jax.tree_util.tree_map(
+            lambda pr: pr[0], proj, is_leaf=lambda x: isinstance(x, tuple))
+        ratios = jax.tree_util.tree_map(
+            lambda pr: pr[1] / (1.0 - momentum), proj,
+            is_leaf=lambda x: isinstance(x, tuple))
+        return updates, {"buf": buf, "count": state["count"] + 1,
+                         "wd_ratio": ratios}
+
+    return optax.GradientTransformation(init, update)
+
+
+def scale_by_adahessian(b1=0.9, b2=0.999, eps=1e-8):
+    """AdaHessian second-moment-on-Hessian-diagonal transform (reference:
+    optim_factory.py:154, a dead flag — never used by any README recipe).
+    The Hessian diagonal cannot be derived from first-order grads, so the
+    update takes it as an explicit pytree: ``update(grads, state, params,
+    hess_diag=...)`` with `hutchinson_hessian_diag` as the estimator.
+    The stock CLI train steps do not wire it (same status as the
+    reference); custom steps can."""
+
+    def init(params):
+        z = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+        return {"mu": z(params), "nu": z(params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None, *, hess_diag=None):
+        if hess_diag is None:
+            raise ValueError(
+                "adahessian needs the Hessian diagonal: call "
+                "update(grads, state, params, hess_diag=...) with "
+                "dig_tpu.optim.hutchinson_hessian_diag(grad_fn, params, rng)"
+            )
+        count = state["count"] + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, d: b2 * v + (1 - b2) * d * d, state["nu"], hess_diag)
+        updates = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu)
+        return updates, {"mu": mu, "nu": nu, "count": count}
+
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
+def hutchinson_hessian_diag(grad_fn, params, rng):
+    """One Rademacher sample of the Hessian diagonal: D ≈ z ⊙ (H z),
+    computed as the JVP of `grad_fn` (grad-of-loss) at `params` along z.
+    Exact for diagonal Hessians (z² = 1); unbiased in general."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(rng, len(leaves))
+    z = jax.tree_util.tree_unflatten(treedef, [
+        jax.random.rademacher(k, l.shape, dtype=l.dtype)
+        for k, l in zip(keys, leaves)
+    ])
+    _, hz = jax.jvp(grad_fn, (params,), (z,))
+    return jax.tree_util.tree_map(lambda zi, hzi: zi * hzi, z, hz)
+
+
 def _inner_transform(opt_name: str, betas, eps, momentum):
     """Name-dispatched second-moment transforms mirroring the reference
     factory (optim_factory.py:128-181).  Apex 'fused*' variants map to the
@@ -150,6 +300,13 @@ def _inner_transform(opt_name: str, betas, eps, momentum):
         return optax.scale_by_novograd(b1=betas[0], b2=betas[1], eps=eps)
     if name == "lion":
         return optax.scale_by_lion(b1=betas[0], b2=betas[1])
+    if name == "adamp":
+        # reference passes wd_ratio=0.01, nesterov=True (optim_factory.py:144)
+        return _scale_by_adamp(betas[0], betas[1], eps)
+    if name == "sgdp":
+        return _scale_by_sgdp(momentum)
+    if name == "adahessian":
+        return scale_by_adahessian(betas[0], betas[1], eps)
     raise ValueError(f"Invalid optimizer '{opt_name}'")
 
 
@@ -215,12 +372,19 @@ def create_optimizer(
             if wd_arr is not None
             else jnp.float32(0.0)
         )
+        # AdamP/SGDP publish a per-leaf wd_ratio from the projection —
+        # fold it into the decoupled decay (torch: p *= 1-lr*wd*wd_ratio)
+        wd_ratios = (inner_state["wd_ratio"]
+                     if isinstance(inner_state, dict)
+                     and "wd_ratio" in inner_state
+                     else jax.tree_util.tree_map(lambda _: 1.0, params))
 
-        def apply(u, p, use_decay, scale):
-            d = wd * p if use_decay else 0.0
+        def apply(u, p, use_decay, scale, wdr):
+            d = wd * wdr * p if use_decay else 0.0
             return -(lr * scale) * (u + d)
 
-        updates = jax.tree_util.tree_map(apply, updates, params, decay_mask, lr_scales)
+        updates = jax.tree_util.tree_map(apply, updates, params, decay_mask,
+                                         lr_scales, wd_ratios)
         new_state = {"inner": inner_state, "count": step + 1}
         if use_lookahead:
             # timm Lookahead defaults: k=6, alpha=0.5

@@ -160,7 +160,8 @@ def test_msn_loss_runs():
 
 @pytest.mark.parametrize("name", ["sgd", "adam", "adamw", "nadam", "radam",
                                   "rmsprop", "lamb", "lars", "adafactor",
-                                  "lookahead_adamw", "fusedadamw"])
+                                  "lookahead_adamw", "fusedadamw",
+                                  "adamp", "sgdp"])
 def test_optimizer_variants(name):
     lr = cosine_schedule(1e-2, 1e-3, 1, 5)
     tx = create_optimizer(name, lr, momentum=0.9)
@@ -172,6 +173,59 @@ def test_optimizer_variants(name):
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
     assert np.isfinite(np.asarray(params["w"])).all()
     assert float(jnp.abs(params["w"] - 1.0).sum()) > 0
+
+
+def test_adamp_projection_orthogonalizes():
+    """When a parameter is scale-invariant (grad ⟂ param per channel,
+    |cos| < delta/sqrt(dim)), AdamP's projection must (a) remove the
+    radial component — the update stays orthogonal to the param — and
+    (b) report the shrunk wd_ratio (reference: AdamP _projection,
+    wd_ratio=0.01 at optim_factory.py:144)."""
+    from dig_tpu.optim import _adamp_projection
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    # build grad orthogonal to p per channel (row)
+    g = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    g = g - p * (p * g).sum(axis=1, keepdims=True) / (p * p).sum(
+        axis=1, keepdims=True)
+    perturb = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    out, ratio = _adamp_projection(p, g, perturb, delta=0.1, wd_ratio=0.01,
+                                   eps=1e-8)
+    radial = np.asarray((out * p).sum(axis=1) /
+                        jnp.linalg.norm(p, axis=1))
+    assert np.abs(radial).max() < 1e-4
+    assert float(ratio) == pytest.approx(0.01)
+
+    # non-scale-invariant direction (grad ∥ param): projection is a no-op
+    out2, ratio2 = _adamp_projection(p, p, perturb, 0.1, 0.01, 1e-8)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(perturb))
+    assert float(ratio2) == pytest.approx(1.0)
+
+
+def test_adahessian_quadratic():
+    """scale_by_adahessian + hutchinson_hessian_diag on a diagonal
+    quadratic: the Hutchinson sample is exact (z²=1), so the
+    preconditioned update converges like Newton (reference:
+    optim_factory.py:154 — a dead flag there; first-class here)."""
+    from dig_tpu.optim import hutchinson_hessian_diag, scale_by_adahessian
+
+    A = jnp.asarray([4.0, 1.0, 0.25])
+    loss_fn = lambda x: 0.5 * (A * x * x).sum()
+    grad_fn = jax.grad(loss_fn)
+    x = jnp.asarray([1.0, 1.0, 1.0])
+    diag = hutchinson_hessian_diag(grad_fn, x, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(diag), np.asarray(A), rtol=1e-6)
+
+    tx = scale_by_adahessian(b1=0.0, b2=0.0)  # no momentum: pure newton dir
+    state = tx.init(x)
+    u, state = tx.update(grad_fn(x), state, x, hess_diag=diag)
+    # update = g / |H| = x elementwise (signs aside) -> one lr=1 step lands at 0
+    np.testing.assert_allclose(np.asarray(x - u), 0.0, atol=1e-6)
+
+    # without hess_diag the transform refuses with a pointer
+    with pytest.raises(ValueError, match="hutchinson"):
+        tx.update(grad_fn(x), state, x)
 
 
 def test_layer_decay_scales():
