@@ -612,6 +612,157 @@ def convert_torch_recognizer(state_dict: dict) -> dict:
     return out
 
 
+def _strip_prefix(state_dict: dict, prefix: str) -> dict:
+    return {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
+            if k.startswith(prefix)}
+
+
+def _convert_mlp_head(sd: dict) -> dict:
+    """Torch `_build_mlp` Sequential (modeling_pretrain_moco_mim_ori.py:463-482:
+    per layer l the Linear sits at index 3l and its BatchNorm1d at 3l+1)
+    -> the Flax `MLPHead` tree (dense_l / bn_l).  BN running stats are
+    skipped: the SSL graph only ever normalizes with batch statistics
+    (SyncBN semantics), which is what `BatchStatsNorm` computes."""
+    out: dict = {}
+    for k, v in sd.items():
+        m = re.fullmatch(r"(\d+)\.(weight|bias)", k)
+        if not m:
+            continue  # running_mean / running_var / num_batches_tracked
+        idx, leaf = int(m.group(1)), m.group(2)
+        layer, role = divmod(idx, 3)
+        if role == 0:
+            _set(out, [f"dense_{layer}", "kernel" if leaf == "weight" else "bias"],
+                 v.T if leaf == "weight" else v)
+        elif role == 1:
+            _set(out, [f"bn_{layer}", "scale" if leaf == "weight" else "bias"], v)
+    return out
+
+
+def _convert_cross_patchnet(sd: dict) -> dict:
+    """Torch `PatchNet` with the 2 cross-attention Blocks
+    (modeling_pretrain_moco_mim_ori.py:137-205; Block/Attention :21-135,
+    separate linear_q/k/v with the q/v-bias trick) -> Flax `PatchNet`
+    (CrossBlock params q_kernel/k_kernel/v_kernel/...)."""
+    out: dict = {}
+    for k, v in sd.items():
+        if k in ("norm.weight", "norm.bias"):
+            _set(out, ["norm", "scale" if k.endswith("weight") else "bias"], v)
+        elif m := re.fullmatch(r"blocks\.(\d+)\.(.+)", k):
+            blk, rest = f"blocks_{m.group(1)}", m.group(2)
+            if m2 := re.fullmatch(r"attn\.linear_([qkv])\.weight", rest):
+                _set(out, [blk, f"{m2.group(1)}_kernel"], v.T)
+            elif m2 := re.fullmatch(r"attn\.([qv])_bias", rest):
+                _set(out, [blk, f"{m2.group(1)}_bias"], v)
+            elif rest == "attn.k_bias":
+                pass  # frozen at zero in the reference; not a Flax param
+            elif rest in ("attn.proj.weight", "attn.proj.bias"):
+                _set(out, [blk, "proj",
+                           "kernel" if rest.endswith("weight") else "bias"],
+                     v.T if rest.endswith("weight") else v)
+            elif m2 := re.fullmatch(r"(norm[12])\.(weight|bias)", rest):
+                _set(out, [blk, m2.group(1),
+                           "scale" if m2.group(2) == "weight" else "bias"], v)
+            elif m2 := re.fullmatch(r"mlp\.fc([12])\.(weight|bias)", rest):
+                dense = f"Dense_{int(m2.group(1)) - 1}"
+                _set(out, [blk, "mlp", dense,
+                           "kernel" if m2.group(2) == "weight" else "bias"],
+                     v.T if m2.group(2) == "weight" else v)
+    return out
+
+
+def _convert_conv_patchnet(sd: dict) -> dict:
+    """Torch `ConvPatchNet` (modeling_pretrain_moco_mim_ori.py:207-258:
+    conv_layers Sequential with conv3x3 blocks at indices 0/2/4/6, MaxPools
+    between; patches2global Linear/BN/ReLU/Linear/BN) -> Flax
+    `ConvPatchNet` (c0..c3 conv/bn, p2g_dense0/p2g_bn0/p2g_dense1)."""
+    out: dict = {}
+    conv_block = {0: "c0", 2: "c1", 4: "c2", 6: "c3"}
+    for k, v in sd.items():
+        if m := re.fullmatch(r"conv_layers\.(\d+)\.([01])\.(weight|bias)", k):
+            name = conv_block[int(m.group(1))]
+            if m.group(2) == "0":  # conv [out, in, 3, 3] -> [3, 3, in, out]
+                _set(out, [f"{name}_conv",
+                           "kernel" if m.group(3) == "weight" else "bias"],
+                     v.transpose(2, 3, 1, 0) if m.group(3) == "weight" else v)
+            else:  # BatchNorm2d affine
+                _set(out, [f"{name}_bn",
+                           "scale" if m.group(3) == "weight" else "bias"], v)
+        elif m := re.fullmatch(r"patches2global\.([013])\.(weight|bias)", k):
+            idx, leaf = m.group(1), m.group(2)
+            if idx == "0":
+                _set(out, ["p2g_dense0", "kernel" if leaf == "weight" else "bias"],
+                     v.T if leaf == "weight" else v)
+            elif idx == "1":
+                _set(out, ["p2g_bn0", "scale" if leaf == "weight" else "bias"], v)
+            else:
+                _set(out, ["p2g_dense1", "kernel" if leaf == "weight" else "bias"],
+                     v.T if leaf == "weight" else v)
+    return out
+
+
+def _convert_pix_decoder(sd: dict) -> dict:
+    """Torch `pix_decoder` Sequential (Linear/Linear/LN/GELU/Linear;
+    modeling_pretrain_moco_mim_ori.py:422-426) -> Flax `PixDecoder`."""
+    out: dict = {}
+    names = {"0": ("fc0", True), "1": ("fc1", True), "4": ("head", True)}
+    for k, v in sd.items():
+        m = re.fullmatch(r"([0124])\.(weight|bias)", k)
+        if not m:
+            continue
+        idx, leaf = m.group(1), m.group(2)
+        if idx == "2":
+            _set(out, ["norm", "scale" if leaf == "weight" else "bias"], v)
+        else:
+            name, transpose = names[idx]
+            _set(out, [name, "kernel" if leaf == "weight" else "bias"],
+                 v.T if (leaf == "weight" and transpose) else v)
+    return out
+
+
+def convert_torch_moco(state_dict: dict) -> dict:
+    """Full `MoCo_ViT` conversion (reference:
+    modeling_pretrain_moco_mim_ori.py:261-577) -> ``{"student": tree,
+    "ema": tree}`` matching `DiGPretrainModel`'s param layout and its EMA
+    parameter tree (keys encoder / projection / predictor /
+    patch_extractor / pix_projector / pix_decoder; the momentum branch
+    maps the `momentum_*` / `pix_projector_m` modules).  The sinusoid
+    pos_embed is recomputed, BN running stats are dropped (batch-stats
+    normalization ≙ train-mode SyncBN)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def patchnet(prefix):
+        sub = _strip_prefix(sd, prefix)
+        if any(k.startswith("blocks.") for k in sub):
+            return _convert_cross_patchnet(sub)
+        if any(k.startswith("conv_layers.") for k in sub):
+            return _convert_conv_patchnet(sub)
+        return {}  # no_patchtrans: the extractor is parameter-free
+
+    student: dict = {"encoder": convert_torch_encoder(sd, prefix="encoder.")}
+    ema: dict = {}
+    if any(k.startswith("momentum_encoder.") for k in sd):
+        ema["encoder"] = convert_torch_encoder(sd, prefix="momentum_encoder.")
+    for src, dst, tree in (
+        ("encoder_projection_layer.", "projection", student),
+        ("momentum_projection_layer.", "projection", ema),
+        ("predictor.", "predictor", student),
+        ("pix_projector.", "pix_projector", student),
+        ("pix_projector_m.", "pix_projector", ema),
+    ):
+        sub = _strip_prefix(sd, src)
+        if sub:
+            tree[dst] = _convert_mlp_head(sub)
+    for src, tree in (("patch_extractor.", student),
+                      ("momentum_patch_extractor.", ema)):
+        converted = patchnet(src)
+        if converted:
+            tree["patch_extractor"] = converted
+    pix = _strip_prefix(sd, "pix_decoder.")
+    if pix:
+        student["pix_decoder"] = _convert_pix_decoder(pix)
+    return {"student": student, "ema": ema}
+
+
 def has_decoder_keys(state_dict: dict) -> bool:
     """True when a torch state dict carries full-RECOGNIZER decoder
     tensors: the transformer decoder's layer stack / char embedding
