@@ -15,8 +15,12 @@ fp16) is ~850 imgs/sec/chip; the north star is >= 2x that per chip
 Modes (env BENCH_MODE): "pretrain" (default), "eval" — greedy-decode
 inference throughput of the ViT-S recognizer (the reference's eval is an
 uncached O(T) decoder recompute; ~400 imgs/sec/A100 measured-class) —
-or "finetune" — the supervised teacher-forced recognition train step
-(reference recipe: batch 256/chip, ViT-S + tf_decoder, README.md:91-117).
+"finetune" — the supervised teacher-forced recognition train step
+(reference recipe: batch 256/chip, ViT-S + tf_decoder, README.md:91-117) —
+or "input" — HOST input-pipeline throughput (decode + host-side aug
+through DataLoader, no TPU), per-core, against the device's measured
+consumption rate; quantifies when --device_aug/--device_abi_aug become
+mandatory to keep the chip fed (see README "Feeding the chip").
 """
 
 import json
@@ -207,6 +211,89 @@ def finetune_bench():
     print(json.dumps(result))
 
 
+def input_bench():
+    """Host input-pipeline throughput: imgs/sec through DataLoader for the
+    three host-work profiles, measured on synthetic 32x100 JPEGs (or an
+    existing LMDB via BENCH_DATA).  No TPU involved.  `value` is the
+    binding case (pretrain 2-view SeqCLR aug); `vs_baseline` divides by the
+    device's measured pretrain consumption (945 imgs/s/chip, BENCH_r03) —
+    <1.0 means this host starves the chip unless aug moves on-device."""
+    import tempfile
+
+    import cv2
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dig_tpu.data.dataset import build_dataset, build_pretraining_dataset
+    from dig_tpu.data.pipeline import DataLoader
+    from dig_tpu.data.samplers import ShardedSampler
+
+    DEVICE_PRETRAIN_IMGS_PER_SEC = 945.0  # BENCH_r03 (v5e, batch 128)
+
+    n_samples = int(os.environ.get("BENCH_INPUT_SAMPLES", "2048"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    workers = int(os.environ.get("BENCH_WORKERS", str(os.cpu_count() or 1)))
+
+    data = os.environ.get("BENCH_DATA")
+    tmp = None
+    if not data:
+        from dig_tpu.data.lmdb_store import LmdbWriter
+
+        tmp = tempfile.TemporaryDirectory()
+        data = os.path.join(tmp.name, "db")
+        rng = np.random.default_rng(0)
+        with LmdbWriter(data) as w:
+            for i in range(1, n_samples + 1):
+                img = rng.integers(0, 255, size=(32, 100, 3), dtype=np.uint8)
+                cv2.putText(img, "sample", (2, 24),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
+                ok, buf = cv2.imencode(".jpg", img)
+                assert ok
+                w.put(b"image-%09d" % i, buf.tobytes())
+                w.put(b"label-%09d" % i, b"sample")
+            w.put(b"num-samples", str(n_samples).encode())
+
+    def rate(dataset) -> float:
+        sampler = ShardedSampler(len(dataset), rank=0, world=1, seed=0)
+        loader = DataLoader(dataset, sampler, batch_size=batch,
+                            num_workers=workers)
+        n_img = 0
+        it = iter(loader)
+        next(it)  # warm thread pool + cv2
+        t0 = time.perf_counter()
+        for b in it:
+            first = b[0] if isinstance(b, (tuple, list)) else next(iter(b.values()))
+            n_img += len(first)
+        return n_img / (time.perf_counter() - t0)
+
+    rng = np.random.default_rng(0)
+    pre = rate(build_pretraining_dataset(data, rng=rng))  # 2-view SeqCLR aug
+    ft_abi = rate(build_dataset(data, is_train=True, use_aug=True,
+                                use_abi_aug=True, rng=rng))
+    ft_plain = rate(build_dataset(data, is_train=True, rng=rng))
+    if tmp:
+        tmp.cleanup()
+
+    cores = os.cpu_count() or 1
+    print(json.dumps({
+        "metric": "input_host_imgs_per_sec",
+        "value": round(pre, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(pre / DEVICE_PRETRAIN_IMGS_PER_SEC, 3),
+        "host_cores": cores,
+        "workers": workers,
+        "pretrain_seqclr_aug": round(pre, 2),
+        "finetune_abi_aug": round(ft_abi, 2),
+        "finetune_plain": round(ft_plain, 2),
+        "per_core": {
+            "pretrain_seqclr_aug": round(pre / cores, 2),
+            "finetune_abi_aug": round(ft_abi / cores, 2),
+            "finetune_plain": round(ft_plain / cores, 2),
+        },
+        "device_demand_pretrain": DEVICE_PRETRAIN_IMGS_PER_SEC,
+    }))
+
+
 def _pretrain_breakdown(model, state, step_fn, batch, key, wall_step_s):
     """Per-pass device timings (ms), regenerating the README/ROOFLINE step
     budget: student forward, momentum-key forward, pure device step time
@@ -295,6 +382,8 @@ def main():
         return eval_bench()
     if os.environ.get("BENCH_MODE") == "finetune":
         return finetune_bench()
+    if os.environ.get("BENCH_MODE") == "input":
+        return input_bench()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -427,5 +516,6 @@ def wait_for_backend(deadline_s: float = 600.0, probe_timeout_s: float = 280.0):
 
 
 if __name__ == "__main__":
-    wait_for_backend()
+    if os.environ.get("BENCH_MODE") != "input":  # input mode is host-only
+        wait_for_backend()
     main()
