@@ -513,6 +513,82 @@ def test_ref_moco_vit_full_forward(moco_pair):
     assert np.abs(mine_vis - ref_vis).max() < 1e-3
 
 
+@pytest.mark.parametrize("patchnet", ["conv", "no_patchtrans"])
+def test_ref_moco_vit_variant_forward(gloo_world1, patchnet):
+    """Same full-forward pin for the PatchNet variants
+    (modeling_pretrain_moco_mim_ori.py:207-258 ConvPatchNet, :372-378
+    no_patchtrans pooling) — exercises `_convert_conv_patchnet` and the
+    parameter-free extractor path of `convert_torch_moco`."""
+    import modeling_pretrain_moco_mim_ori as ref_mod
+
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        torch.manual_seed(21)
+        dim, depth, heads = 64, 2, 2
+        ref = ref_mod.MoCo_ViT(
+            img_size=(32, 128), patch_size=4, encoder_embed_dim=dim,
+            encoder_depth=depth, encoder_num_heads=heads,
+            decoder_num_classes=48, decoder_embed_dim=32, mlp_ratio=4.0,
+            qkv_bias=True, mlp_dim=96, dim=16, T=0.2, num_windows=4,
+            use_pixel_target=True, use_moco_target=True,
+            patchnet_name=patchnet)
+        ref.train()
+        model = DiGPretrainModel(
+            img_size=(32, 128), patch_size=4, encoder_embed_dim=dim,
+            encoder_depth=depth, encoder_num_heads=heads,
+            decoder_num_classes=48, decoder_embed_dim=32, mlp_dim=96,
+            dim=16, temperature=0.2, num_windows=4, use_pixel_target=True,
+            use_moco_target=True, qkv_bias=True, patchnet_name=patchnet)
+
+        rng = np.random.default_rng(22)
+        # b >= 5: the conv extractor yields ONE window per image, and the
+        # reference's contrastive_loss computes top-5 accuracy over the
+        # [B*W, B*W] logits (:459, :604) — fewer than 5 columns raises
+        b, n = 6, 8 * 32
+        img = rng.normal(size=(b, 3, 32, 128)).astype(np.float32)
+        aug = rng.normal(size=(b, 3, 32, 128)).astype(np.float32)
+        mask = np.zeros((b, 2, n), bool)
+        for r in range(b):
+            for v in range(2):
+                mask[r, v, rng.permutation(n)[:100]] = True
+        all_images = np.concatenate([img, aug], 0).transpose(0, 2, 3, 1)
+        mask_flat = mask.transpose(1, 0, 2).reshape(-1, n)
+
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(all_images),
+                               jnp.asarray(mask_flat), True,
+                               method=model.forward_student)
+        params = _params_of(variables)
+        tree = convert_torch_moco(_sd(ref))
+        if patchnet == "no_patchtrans":
+            assert "patch_extractor" not in tree["student"]
+        else:
+            assert "p2g_dense0" in tree["student"]["patch_extractor"]
+        _graft(params, tree["student"])
+
+        with torch.no_grad():
+            out = ref(torch.from_numpy(img), torch.from_numpy(aug),
+                      torch.from_numpy(mask), m=0.5)
+        student = model.apply({"params": params}, jnp.asarray(all_images),
+                              jnp.asarray(mask_flat), True,
+                              method=model.forward_student)
+        k1, k2 = model.apply({"params": params}, jnp.asarray(all_images),
+                             jnp.asarray(mask_flat), True,
+                             method=model.forward_key)
+        loss1 = info_nce_loss(student["q1"], jax.lax.stop_gradient(k2), 0.2)
+        loss2 = info_nce_loss(student["q2"], jax.lax.stop_gradient(k1), 0.2)
+        mine_contra = float(loss1 + loss2)
+        assert abs(mine_contra - float(out["contra_loss"])) < 2e-3, (
+            patchnet, mine_contra, float(out["contra_loss"]))
+
+        ref_vis = out["vis_out"][0].numpy()
+        pix = np.asarray(student["pix_pred"])[:b]
+        mine_vis = np.stack([pix[r][mask[r, 0]] for r in range(b)])
+        assert np.abs(mine_vis - ref_vis).max() < 1e-3
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+
 def test_ref_moco_vit_features(moco_pair):
     """Feature-level pin: q1/q2 and k1/k2 against the reference's own
     submodule pipeline (encoder -> pix_projector -> patch_extractor ->
