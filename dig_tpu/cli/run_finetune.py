@@ -291,9 +291,14 @@ def main(cfg: FinetuneConfig):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from dig_tpu.data.device_aug import device_abi_augment
+        from dig_tpu.ops.images import to_model_images
         from dig_tpu.parallel.mesh import batch_sharding
 
-        aug_fn = jax.jit(device_abi_augment,
+        def _abi_aug(key, images):
+            # uint8 transport: normalize before the [-1,1]-domain aug ops
+            return device_abi_augment(key, to_model_images(images))
+
+        aug_fn = jax.jit(_abi_aug,
                          in_shardings=(NamedSharding(mesh, P()),
                                        batch_sharding(mesh)))
     local_batch = cfg.batch_size * (n_devices // world)

@@ -35,7 +35,8 @@ import numpy as np
 
 from dig_tpu.config import PredictConfig, config_to_json, parse_config
 from dig_tpu.data.dataset import decode_image
-from dig_tpu.data.transforms import resize_normalize
+from dig_tpu.data.transforms import resize_uint8
+from dig_tpu.ops.images import to_model_images
 from dig_tpu.utils.charset import build_charset
 
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm", ".tif", ".tiff")
@@ -100,7 +101,7 @@ def _prep_batches(pairs, prep, batch_size, num_workers, what):
 
 
 def iter_file_batches(paths, batch_size, h, w, num_workers: int = 4):
-    """Yield (names, images [B,H,W,3] float32) batches from image files;
+    """Yield (names, images [B,H,W,3] uint8) batches from image files;
     file IO + decode both run on the pool."""
 
     def load(p):
@@ -109,7 +110,7 @@ def iter_file_batches(paths, batch_size, h, w, num_workers: int = 4):
                 img = decode_image(f.read())
         except OSError:
             img = None
-        return None if img is None else resize_normalize(img, h, w)
+        return None if img is None else resize_uint8(img, h, w)
 
     yield from _prep_batches(((p, p) for p in paths), load,
                              batch_size, num_workers, "image")
@@ -133,7 +134,7 @@ def iter_lmdb_batches(data_paths, batch_size, cfg, num_workers: int = 4):
 
     def prep(buf):
         img = decode_image(buf) if buf is not None else None
-        return None if img is None else resize_normalize(
+        return None if img is None else resize_uint8(
             img, cfg.input_h, cfg.input_w)
 
     for path in data_paths:
@@ -159,6 +160,7 @@ def make_predict_fn(model, cfg, eos: int):
     if cfg.model_kind == "ctc":
 
         def predict(params, images):
+            images = to_model_images(images)  # uint8 transport
             logits = model.apply({"params": params}, images, True)
             probs = jax.nn.softmax(logits, axis=-1)
             ids = jnp.argmax(logits, axis=-1)
@@ -168,6 +170,7 @@ def make_predict_fn(model, cfg, eos: int):
         return jax.jit(predict)
 
     def predict(params, images):
+        images = to_model_images(images)  # uint8 transport
         probs, ids = model.apply({"params": params}, images, cfg.beam_width,
                                  eos, method=model.recognize)
         if probs is None:

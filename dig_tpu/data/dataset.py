@@ -28,7 +28,7 @@ from dig_tpu.data.pipeline import ThreadLocalRng
 from dig_tpu.data.transforms import (
     ABIAugment,
     SeqCLRAugment,
-    resize_normalize,
+    resize_uint8,
 )
 from dig_tpu.utils.charset import Charset, build_charset
 
@@ -134,7 +134,7 @@ class ImageLmdb:
             label, label_len = encoded
             if self.augment is not None:
                 img = self.augment(img)
-            img = resize_normalize(img, self.img_height, self.img_width)
+            img = resize_uint8(img, self.img_height, self.img_width)
             return img, label, np.int32(label_len)
         raise RuntimeError(f"no usable sample near index {index} in {self.root}")
 
@@ -193,9 +193,9 @@ class AloneImageLmdb:
             mask = self.mask_gen()  # [num_view, N] (or [N] if num_view == 1)
             if mask.ndim == 1:
                 mask = mask[None]
-            ori = resize_normalize(img, self.img_height, self.img_width)
+            ori = resize_uint8(img, self.img_height, self.img_width)
             if self.augment is not None:
-                aug = resize_normalize(self.augment(img), self.img_height, self.img_width)
+                aug = resize_uint8(self.augment(img), self.img_height, self.img_width)
             else:
                 aug = ori
             return ori, aug, mask.astype(bool)

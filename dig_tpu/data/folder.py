@@ -14,7 +14,7 @@ import numpy as np
 
 from dig_tpu.data.dataset import decode_image
 from dig_tpu.data.pipeline import ThreadLocalRng
-from dig_tpu.data.transforms import resize_normalize
+from dig_tpu.data.transforms import resize_uint8
 
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif",
                   ".tiff", ".webp")
@@ -59,7 +59,7 @@ class ImageFolder:
                     raise IOError(path)
                 if self.transform is not None:
                     img = self.transform(img)
-                img = resize_normalize(img, self.img_height, self.img_width)
+                img = resize_uint8(img, self.img_height, self.img_width)
                 return img, np.int32(target)
             except Exception:
                 # retry a random index (reference: dataset_folder.py:158-165)

@@ -351,9 +351,18 @@ class SeqCLRAugment:
         return img
 
 
-def resize_normalize(img: np.ndarray, height: int = 32, width: int = 128) -> np.ndarray:
-    """Resize to model input and normalize with mean=std=0.5 -> float32
-    HWC in [-1, 1]."""
+def resize_uint8(img: np.ndarray, height: int = 32, width: int = 128) -> np.ndarray:
+    """Resize to model input, staying uint8 HWC.  Datasets ship THIS to
+    the device (4x cheaper host->device copies than float32); the jitted
+    steps normalize on-device with the bit-identical float math
+    (ops/images.to_model_images)."""
     if img.shape[:2] != (height, width):
         img = cv2.resize(img, (width, height), interpolation=cv2.INTER_CUBIC)
-    return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+    return img
+
+
+def resize_normalize(img: np.ndarray, height: int = 32, width: int = 128) -> np.ndarray:
+    """Resize to model input and normalize with mean=std=0.5 -> float32
+    HWC in [-1, 1] (host-side; kept for float consumers/tests — the
+    training path ships uint8, see `resize_uint8`)."""
+    return (resize_uint8(img, height, width).astype(np.float32) / 255.0 - 0.5) / 0.5

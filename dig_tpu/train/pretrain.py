@@ -29,6 +29,7 @@ import numpy as np
 
 from dig_tpu.losses.infonce import info_nce_loss
 from dig_tpu.models.moco import DiGPretrainModel
+from dig_tpu.ops.images import to_model_images
 from dig_tpu.ops.patchify import mim_pixel_targets
 from dig_tpu.parallel.mesh import batch_sharding
 from dig_tpu.train.state import TrainState, ema_update
@@ -79,8 +80,10 @@ def make_pretrain_step(
         mask [B, num_view, N] bool).  With --device_aug the aug view and
         masks come from the separately-jitted `make_device_view_fn` program
         (keeping the big train-step compile lean)."""
-        images = batch["images"]
-        aug_images = batch["aug_images"]
+        # uint8 transport: batches arrive as raw uint8 (4x cheaper H2D)
+        # and normalize here, fused into the step program (ops/images.py)
+        images = to_model_images(batch["images"])
+        aug_images = to_model_images(batch["aug_images"])
         mask = batch["mask"]
         b = images.shape[0]
         n_views = mask.shape[1]
@@ -207,6 +210,7 @@ def make_device_view_fn(num_patches: int, mask_ratio: float = 0.7,
     from dig_tpu.data.device_aug import device_augment, random_mask_batch
 
     def view_fn(rng, images):
+        images = to_model_images(images)  # uint8 transport (ops/images.py)
         k_aug, k_mask = jax.random.split(rng)
         aug = device_augment(k_aug, images)
         mask = random_mask_batch(

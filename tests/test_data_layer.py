@@ -45,8 +45,10 @@ def test_image_lmdb_basic(fixture_lmdb):
     ds = ImageLmdb(fixture_lmdb, "ALLCASES_SYMBOLS", max_len=25)
     assert len(ds) == len(WORDS)
     img, label, length = ds[0]
-    assert img.shape == (32, 128, 3) and img.dtype == np.float32
-    assert img.min() >= -1.0 and img.max() <= 1.0
+    # uint8 transport: datasets ship raw uint8; normalization happens
+    # in-jit (ops/images.to_model_images), bit-identical to the old
+    # host-side float path (see test_uint8_transport.py)
+    assert img.shape == (32, 128, 3) and img.dtype == np.uint8
     assert ds.charset.decode(label) == WORDS[0]
     assert int(length) == len(WORDS[0]) + 1
 

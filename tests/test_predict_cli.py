@@ -54,8 +54,9 @@ def test_iter_file_batches_skips_corrupt(tmp_path, capsys):
     assert names == [str(good[0]), str(good[1]), str(good[2])]
     assert batches[0][1].shape == (2, 32, 128, 3)
     assert batches[1][1].shape == (1, 32, 128, 3)
-    assert batches[0][1].dtype == np.float32
-    assert float(batches[0][1].max()) <= 1.0 and float(batches[0][1].min()) >= -1.0
+    # uint8 transport: predict ships raw uint8 and normalizes in-jit
+    # (ops/images.to_model_images; see test_uint8_transport.py)
+    assert batches[0][1].dtype == np.uint8
 
 
 def test_iter_lmdb_batches_unlabeled_and_no_substitution(tmp_path):
