@@ -153,10 +153,14 @@ def finetune_bench():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     warmup = 3
 
+    # regularization matches the reference finetune recipe's defaults
+    # (run_class_finetuning.py:69-73: drop 0.0, attn_drop 0.0, drop_path
+    # 0.1) — attn_drop > 0 would force the unfused attention path + a
+    # [B,H,T,T] dropout mask per layer that the real recipe never pays
     model = build_rec_model(os.environ.get("BENCH_MODEL",
                                            "vit_small_patch4_32x128"),
-                            "tf_decoder", dtype=jnp.bfloat16, drop_rate=0.1,
-                            attn_drop_rate=0.1, drop_path_rate=0.1)
+                            "tf_decoder", dtype=jnp.bfloat16, drop_rate=0.0,
+                            attn_drop_rate=0.0, drop_path_rate=0.1)
     total = 1000
     tx = make_optimizer(
         cosine_schedule(1e-4 * batch / 256, 1e-6, 1, total, warmup_steps=10),
