@@ -63,7 +63,28 @@ for ARM in scratch ssl; do
     --output_dir "$D/ft_$ARM" --save_ckpt_freq 1000 --eval_freq 0
 done
 
+# Optional low-label contrast pair: LOW_LABEL=3000 adds two arms trained
+# on a LOW_LABEL-sample subset of corpus B at an equal-STEP budget
+# (epochs scaled by LABELED/LOW_LABEL so both regimes see the same number
+# of optimizer steps; at equal EPOCHS both arms stay floored — see
+# VALIDATION.md).  Warmup scales with the longer schedule.
+if [ -n "${LOW_LABEL:-}" ]; then
+  LL_EPOCHS=$((FT_EPOCHS * LABELED / LOW_LABEL))
+  for ARM in scratch ssl; do
+    EXTRA=""
+    [ "$ARM" = ssl ] && EXTRA="--finetune $CK"
+    timeout 14000 python -m dig_tpu.cli.run_finetune \
+      --model vit_tiny_patch4_32x128 --decoder_name small_tf_decoder \
+      --data_path "$D/corpusB/labeled" --eval_data_path "$D/corpusB/test" \
+      --num_samples "$LOW_LABEL" \
+      --batch_size 128 --epochs "$LL_EPOCHS" \
+      --warmup_epochs $((LL_EPOCHS / 30)) --num_workers 8 \
+      --lr 8e-4 $EXTRA --no_save_ckpt \
+      --output_dir "$D/ft_${ARM}_low" --save_ckpt_freq 100000 --eval_freq 0
+  done
+fi
+
 echo "=== results (best test word accuracy per arm) ==="
-for ARM in scratch ssl; do
-  echo "$ARM: $(grep -o 'max accuracy: [0-9.]*' "$D/ft_$ARM/screen.txt" | tail -1)"
+for FT in "$D"/ft_*; do
+  echo "$(basename "$FT"): $(grep -o 'max accuracy: [0-9.]*' "$FT/screen.txt" | tail -1)"
 done
