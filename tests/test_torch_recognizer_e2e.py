@@ -177,3 +177,93 @@ def test_greedy_ids_match_end_to_end(converted):
                              method=model.recognize)
     assert np.array_equal(np.asarray(ids), ref_ids.numpy())
     assert np.abs(np.asarray(probs) - ref_probs.numpy()).max() < 2e-4
+
+
+# ---------------------------------------------------------------------------
+# Direct-import e2e: the reference's OWN RecModel
+# (models/model_builder.py:74-202), built through its own
+# create_encoder/create_decoder, real state_dict() -> convert -> eval paths.
+# The hand-assembled TorchRecognizer above stays as the key-layout spec for
+# published .pth checkpoints; these pin the same pipeline against the
+# reference's executable model including its greedy AND beam eval forwards.
+# ---------------------------------------------------------------------------
+
+import os
+import types
+
+REF_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_recmodel():
+    pytest.importorskip("einops")
+    if not os.path.isdir(REF_DIR):
+        pytest.skip("reference checkout not available")
+    from tests.test_reference_grad_parity import (
+        NB, T_MAX as GT_MAX, _register_test_encoder, _graft as graft_strict,
+    )
+    from models import model_builder
+
+    from dig_tpu.models.decoder import create_decoder
+    from dig_tpu.utils.checkpoint import convert_torch_recognizer
+
+    _register_test_encoder()
+    torch.manual_seed(29)
+    args = types.SimpleNamespace(
+        model="vit_gradpin_patch4_32x128", nb_classes=NB, max_len=GT_MAX,
+        decoder_name="small_tf_decoder", drop=0.0, drop_path=0.0,
+        attn_drop_rate=0.0, use_mean_pooling=False, init_scale=0.001,
+        use_seq_cls_token=False, text_cond_vis=False, use_1d_attdec=False,
+        beam_width=0)
+    tref = model_builder.RecModel(args).eval()
+
+    model = RecModel(
+        encoder=VisionTransformer(
+            img_size=IMG, patch_size=PATCH, embed_dim=48, depth=2,
+            num_heads=2, qkv_bias=True, use_mean_pooling=False,
+            return_feat_map=True),
+        decoder=create_decoder("small_tf_decoder", NB, GT_MAX))
+    rng = np.random.default_rng(30)
+    x = rng.normal(size=(3, *IMG, 3)).astype(np.float32)
+    targets = rng.integers(0, NB, size=(3, GT_MAX)).astype(np.int64)
+    lens = np.array([GT_MAX, 4, 6], np.int64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(targets, jnp.int32),
+                           jnp.asarray(lens, jnp.int32), True)
+    import copy
+    params = copy.deepcopy(jax.device_get(variables["params"]))
+    sd = {k: v.detach().numpy().copy()
+          for k, v in tref.state_dict().items()}
+    graft_strict(params, convert_torch_recognizer(sd))
+    return tref, model, params, x
+
+
+def test_ref_recmodel_greedy_e2e(ref_recmodel):
+    tref, model, params, x = ref_recmodel
+    with torch.no_grad():
+        out = tref((torch.from_numpy(x).permute(0, 3, 1, 2), None, None))
+    ref_probs = out[0].numpy()
+    ref_ids = ref_probs.argmax(-1)
+    probs, ids = model.apply({"params": params}, jnp.asarray(x),
+                             method=model.recognize)
+    assert np.array_equal(np.asarray(ids), ref_ids)
+    assert np.abs(np.asarray(probs) - ref_probs).max() < 3e-4
+
+
+@pytest.mark.parametrize("width", [1, 3])
+def test_ref_recmodel_beam_e2e(ref_recmodel, width):
+    """Beam through the reference's own eval forward (RecModel.forward ->
+    decoder beam_search with its hardcoded eos=94 — out of this tiny
+    vocab's range, so both beams run the full max_seq_len with no EOS
+    truncation and every position is comparable)."""
+    tref, model, params, x = ref_recmodel
+    tref.beam_width = width
+    try:
+        with torch.no_grad():
+            out = tref((torch.from_numpy(x).permute(0, 3, 1, 2), None, None))
+        ref_ids = out[0].numpy()
+    finally:
+        tref.beam_width = 0
+    _, ids = model.apply({"params": params}, jnp.asarray(x), width, 94,
+                         method=model.recognize)
+    assert np.array_equal(np.asarray(ids), ref_ids)
