@@ -47,11 +47,14 @@ BF16_EXP = os.environ.get("DIG_TPU_ATTN_BF16_EXP", "0") == "1"
 
 
 def _ref_attention(q, k, v, mask, scale):
-    """[B, Lq, H, D] x [B, Lk, H, D] reference attention, fp32 softmax."""
+    """[B, Lq, H, D] x [B, Lk, H, D] reference attention, fp32 softmax.
+    The softmax accumulates in at-least-f32 (promote, never downcast:
+    f64 inputs — the x64 mesh-invariance test — stay f64)."""
+    acc = jnp.promote_types(q.dtype, jnp.float32)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-    logits = logits.astype(jnp.float32)
+    logits = logits.astype(acc)
     if mask is not None:
-        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+        logits = jnp.where(mask, logits, jnp.asarray(-1e30, acc))
     weights = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
 
@@ -155,10 +158,17 @@ def _compiler_params():
     return pltpu.CompilerParams(dimension_semantics=("parallel",))
 
 
-def _pick_rows(b, lq, lk, c, itemsize):
+def _pick_rows(b, lq, lk, c, itemsize, env="DIG_TPU_ATTN_ROWS"):
     """Rows per program.  Measured on v5e: single-row blocks pipeline best
     for the ViT geometry (multi-row blocks reduce DMA/compute overlap),
-    so stay at 1 unless the row is tiny."""
+    so stay at 1 unless the row is tiny.  The env knob overrides for
+    block-size sweeps (bench_attention / ROOFLINE experiments)."""
+    forced = int(os.environ.get(env, "0"))
+    if forced:
+        rows = forced
+        while b % rows:
+            rows -= 1
+        return max(1, rows)
     per_row = (2 * lq + 2 * lk) * c * itemsize
     if per_row >= 256 * 1024:
         return 1
@@ -213,9 +223,14 @@ def _pallas_attention_bwd(scale, res, g):
     lk = k.shape[1]
     c = h * d
     # bwd keeps 7 row-blocks live (4 in + 3 out): half the fwd row count
-    rows = max(1, _pick_rows(b, lq, lk, c, q.dtype.itemsize) // 2)
+    forced = int(os.environ.get("DIG_TPU_ATTN_BWD_ROWS", "0"))
+    if forced:
+        rows = forced
+    else:
+        rows = max(1, _pick_rows(b, lq, lk, c, q.dtype.itemsize) // 2)
     while b % rows:
         rows -= 1
+    rows = max(1, rows)
     spec_q, spec_k = _row_specs(lq, lk, c, rows)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, num_heads=h, head_dim=d,
@@ -243,6 +258,161 @@ def _pallas_attention_bwd(scale, res, g):
 _pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 
 
+# ---------------------------------------------------------------------------
+# LSE-residual variant (DIG_TPU_ATTN_STORE_LSE=1): the forward kernel
+# additionally writes each softmax row's max `m` and exp2-sum `s`
+# ([B, Lq, H] — H/(H*D) = 64x smaller than the o-tensor the rejected
+# flash-D trick streamed), and the backward kernel consumes them instead
+# of recomputing the row max and row sum — dropping two of the five
+# [Lq, Lk] VPU passes in the bwd, which ROOFLINE.md identifies as the
+# only remaining bucket with headroom.  Numerically identical: the bwd
+# recomputes the same logits from the same inputs, so stored m/s equal
+# the recomputed ones bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel_lse(q_ref, k_ref, v_ref, o_ref, m_ref, s_ref, *, scale,
+                     num_heads, head_dim, rows):
+    for r in range(rows):
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            q = q_ref[r, :, sl]
+            k = k_ref[r, :, sl]
+            v = v_ref[r, :, sl]
+            logits = jax.lax.dot_general(
+                q * jnp.asarray(scale * _LOG2E, q_ref.dtype), k,
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp2(logits - m)
+            s = jnp.sum(e, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[r, :, sl] = (o / s).astype(o_ref.dtype)
+            m_ref[r, :, h] = m[:, 0]
+            s_ref[r, :, h] = s[:, 0]
+
+
+def _attn_bwd_kernel_lse(q_ref, k_ref, v_ref, do_ref, m_ref, s_ref,
+                         dq_ref, dk_ref, dv_ref, *, scale, num_heads,
+                         head_dim, rows):
+    for r in range(rows):
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            q = q_ref[r, :, sl]
+            k = k_ref[r, :, sl]
+            v = v_ref[r, :, sl]
+            do = do_ref[r, :, sl].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q * jnp.asarray(scale * _LOG2E, q_ref.dtype), k,
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # stored residuals replace the max and sum recomputation
+            e = jnp.exp2(logits - m_ref[r, :, h][:, None])
+            rs = 1.0 / s_ref[r, :, h][:, None]
+            dv_ref[r, :, sl] = jax.lax.dot_general(
+                e.astype(v.dtype), (do * rs).astype(v.dtype),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+            dw = jax.lax.dot_general(
+                do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            )
+            c = jnp.sum(dw * e, axis=-1, keepdims=True) * rs
+            ds0 = (e * (dw - c)).astype(q.dtype)
+            dq_ref[r, :, sl] = (
+                jax.lax.dot_general(ds0, k, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                * (scale * rs)
+            ).astype(dq_ref.dtype)
+            dk_ref[r, :, sl] = jax.lax.dot_general(
+                ds0, (q.astype(jnp.float32) * (scale * rs)).astype(q.dtype),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
+
+
+def _pallas_attention_lse_fwd_impl(q, k, v, scale):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    c = h * d
+    rows = _pick_rows(b, lq, lk, c, q.dtype.itemsize)
+    spec_q, spec_k = _row_specs(lq, lk, c, rows)
+    spec_ms = pl.BlockSpec((rows, lq, h), lambda b_: (b_, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out, m, s = pl.pallas_call(
+        functools.partial(_attn_kernel_lse, scale=scale, num_heads=h,
+                          head_dim=d, rows=rows),
+        grid=(b // rows,),
+        interpret=INTERPRET,
+        in_specs=[spec_q, spec_k, spec_k],
+        out_specs=(spec_q, spec_ms, spec_ms),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lq, c), q.dtype),
+            jax.ShapeDtypeStruct((b, lq, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, lq, h), jnp.float32),
+        ),
+        compiler_params=_compiler_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq * lk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+    )(q.reshape(b, lq, c), k.reshape(b, lk, c), v.reshape(b, lk, c))
+    return out.reshape(b, lq, h, d), m, s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_attention_lse(q, k, v, scale):
+    return _pallas_attention_lse_fwd_impl(q, k, v, scale)[0]
+
+
+def _pallas_attention_lse_fwd(q, k, v, scale):
+    out, m, s = _pallas_attention_lse_fwd_impl(q, k, v, scale)
+    return out, (q, k, v, m, s)
+
+
+def _pallas_attention_lse_bwd(scale, res, g):
+    q, k, v, m, s = res
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    c = h * d
+    forced = int(os.environ.get("DIG_TPU_ATTN_BWD_ROWS", "0"))
+    rows = forced or max(1, _pick_rows(b, lq, lk, c, q.dtype.itemsize) // 2)
+    while b % rows:
+        rows -= 1
+    rows = max(1, rows)
+    spec_q, spec_k = _row_specs(lq, lk, c, rows)
+    spec_ms = pl.BlockSpec((rows, lq, h), lambda b_: (b_, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_lse, scale=scale, num_heads=h,
+                          head_dim=d, rows=rows),
+        grid=(b // rows,),
+        interpret=INTERPRET,
+        in_specs=[spec_q, spec_k, spec_k, spec_q, spec_ms, spec_ms],
+        out_specs=(spec_q, spec_k, spec_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lq, c), q.dtype),
+            jax.ShapeDtypeStruct((b, lk, c), k.dtype),
+            jax.ShapeDtypeStruct((b, lk, c), v.dtype),
+        ),
+        compiler_params=_compiler_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * lq * lk * d,
+            bytes_accessed=4 * b * lq * c * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+    )(q.reshape(b, lq, c), k.reshape(b, lk, c), v.reshape(b, lk, c),
+      g.reshape(b, lq, c), m, s)
+    return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
+
+
+_pallas_attention_lse.defvjp(_pallas_attention_lse_fwd,
+                             _pallas_attention_lse_bwd)
+
+
 def _use_pallas(q, k, mask) -> bool:
     if os.environ.get("DIG_TPU_NO_PALLAS"):
         return False
@@ -264,6 +434,13 @@ def _use_pallas(q, k, mask) -> bool:
     return lq * lk * 4 + 4 * max(lq, lk) * c * q.dtype.itemsize < 8 * 1024 * 1024
 
 
+def _kernel_fn():
+    """LSE-residual A/B switch, read at trace time (see block above)."""
+    if os.environ.get("DIG_TPU_ATTN_STORE_LSE", "0") == "1":
+        return _pallas_attention_lse
+    return _pallas_attention
+
+
 def multi_head_attention(q, k, v, mask=None, scale=None):
     """Batched MHA core.  Inputs are [B, L, H, D] (heads NOT transposed to
     the front); optional boolean mask broadcastable to [B, H, Lq, Lk]
@@ -271,7 +448,7 @@ def multi_head_attention(q, k, v, mask=None, scale=None):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if _use_pallas(q, k, mask):
-        return _pallas_attention(q, k, v, scale)
+        return _kernel_fn()(q, k, v, scale)
     return _ref_attention(q, k, v, mask, scale)
 
 
@@ -287,7 +464,7 @@ def multi_head_attention_packed(q, k, v, num_heads: int, mask=None, scale=None):
     q4 = q.reshape(b, lq, num_heads, d)
     k4 = k.reshape(b, lk, num_heads, d)
     if _use_pallas(q4, k4, mask):
-        return _pallas_attention(
+        return _kernel_fn()(
             q4, k4, v.reshape(b, lk, num_heads, d), scale
         ).reshape(b, lq, c)
     return _ref_attention(

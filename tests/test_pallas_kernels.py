@@ -151,3 +151,28 @@ def test_fused_bias_grad_dense_matches_nn_dense(monkeypatch):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     finally:
         fd.INTERPRET = False
+
+
+def test_attention_lse_variant_interpreted():
+    """DIG_TPU_ATTN_STORE_LSE kernel pair: fwd output and full VJP must
+    match the plain kernel / jnp reference (the stored m/s equal the
+    recomputed ones bit-for-bit, so this is an exact-path check)."""
+    B, L, H, D = 2, 128, 2, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, L, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, L, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, L, H, D))
+    scale = D**-0.5
+    out_k = attn_mod._pallas_attention_lse(q, k, v, scale)
+    out_r = attn_mod._ref_attention(q, k, v, None, scale)
+    assert np.allclose(np.asarray(out_k), np.asarray(out_r), atol=2e-5)
+
+    gk = jax.grad(
+        lambda q, k, v: jnp.sum(
+            attn_mod._pallas_attention_lse(q, k, v, scale) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(
+            attn_mod._ref_attention(q, k, v, None, scale) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-4)

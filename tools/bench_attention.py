@@ -49,6 +49,10 @@ def run(b=256, l=256, h=6, d=64, iters=12):
         def core(q, k, v):
             if impl == "xla":
                 return attention._ref_attention(q, k, v, None, scale)
+            if impl == "lse":
+                return attention._pallas_attention_lse(q, k, v, scale)
+            if impl == "splash":
+                return _splash_core(q, k, v, scale, l, h, d)
             return attention._pallas_attention(q, k, v, scale)
 
         def fwd_once(s, q, k, v):
@@ -87,14 +91,47 @@ def run(b=256, l=256, h=6, d=64, iters=12):
         return sorted(ts)[len(ts) // 2] / n_loop * 1e3
 
     results = {}
-    for impl, flip in (("xla", None), ("pallas", False), ("bf16", True)):
+    cases = [("xla", None, 0), ("pallas", False, 0), ("bf16", True, 0),
+             ("lse", False, 0), ("splash", False, 0)]
+    # bwd block-size sweep (DIG_TPU_ATTN_BWD_ROWS, read at trace time)
+    for r in (1, 2, 4):
+        cases.append((f"bwd_rows{r}", False, r))
+    for impl, flip, bwd_rows in cases:
         if flip is not None:
             attention.BF16_EXP = flip
-        fwd, fwdbwd = make_fns(impl)
-        results[impl] = (timeit(fwd), timeit(fwdbwd))
-        print(f"{impl:7s} fwd {results[impl][0]:7.2f} ms   "
-              f"fwd+bwd {results[impl][1]:7.2f} ms", flush=True)
+        os.environ["DIG_TPU_ATTN_BWD_ROWS"] = str(bwd_rows)
+        name = impl if not impl.startswith("bwd_rows") else "pallas"
+        try:
+            fwd, fwdbwd = make_fns(name if impl.startswith("bwd") else impl)
+            results[impl] = (timeit(fwd), timeit(fwdbwd))
+            print(f"{impl:9s} fwd {results[impl][0]:7.2f} ms   "
+                  f"fwd+bwd {results[impl][1]:7.2f} ms", flush=True)
+        except Exception as e:  # record incompatibilities as data
+            results[impl] = None
+            print(f"{impl:9s} FAILED: {type(e).__name__}: {e}", flush=True)
+    os.environ.pop("DIG_TPU_ATTN_BWD_ROWS", None)
     return results
+
+
+def _splash_core(q, k, v, scale, l, h, d):
+    """jax's splash-attention kernel on this geometry (full mask).  Splash
+    wants [H, L, D] per example with head-major layout — the transposes are
+    charged to the variant, as the model would pay them too."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as splash,
+        splash_attention_mask as mask_lib,
+    )
+
+    mask = mask_lib.MultiHeadMask(
+        [mask_lib.FullMask((l, l)) for _ in range(h)])
+    kernel = splash.make_splash_mha(
+        mask=mask, head_shards=1, q_seq_shards=1,
+        block_sizes=splash.BlockSizes.get_default())
+    qh = jnp.swapaxes(q, 1, 2) * scale  # splash applies no scale itself
+    kh = jnp.swapaxes(k, 1, 2)
+    vh = jnp.swapaxes(v, 1, 2)
+    out = jax.vmap(kernel)(qh, kh, vh)
+    return jnp.swapaxes(out, 1, 2)
 
 
 if __name__ == "__main__":
