@@ -26,9 +26,10 @@ def label_smooth_softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray,
     """Mean CE with the reference's smoothing parameterization:
     positive prob mass ``(1 - s) + s/C``, negative ``s/C`` each."""
     c = logits.shape[-1]
-    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    acc = jnp.promote_types(logits.dtype, jnp.float32)  # never downcast f64
+    logprobs = jax.nn.log_softmax(logits.astype(acc), axis=-1)
     eps = smoothing / c
-    one_hot = jax.nn.one_hot(labels, c, dtype=jnp.float32)
+    one_hot = jax.nn.one_hot(labels, c, dtype=acc)
     true_dist = one_hot * (1.0 - smoothing) + eps
     return jnp.mean(jnp.sum(-true_dist * logprobs, axis=-1))
 

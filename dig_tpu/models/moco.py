@@ -52,7 +52,11 @@ class BatchStatsNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         axes = tuple(range(x.ndim - 1))
-        xf = x.astype(jnp.float32)
+        # promote, never downcast: global-batch stats in f64 stay f64
+        # (the x64 mesh-invariance test depends on it — reduction order
+        # differs across shardings, and f32 rounding there would be
+        # Adam-amplified into ~1e-4 param drift)
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         var = jnp.var(xf, axis=axes, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)

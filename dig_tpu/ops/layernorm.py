@@ -33,11 +33,12 @@ _ROW_BLOCK = 512
 
 
 def _ln_ref(x, gamma, beta, eps):
-    xf = x.astype(jnp.float32)
+    acc = jnp.promote_types(x.dtype, jnp.float32)  # never downcast f64
+    xf = x.astype(acc)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return (y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
+    return (y * gamma.astype(acc) + beta.astype(acc)).astype(x.dtype)
 
 
 def _ln_fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, eps):

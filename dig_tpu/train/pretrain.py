@@ -56,8 +56,9 @@ def masked_mse(pred, target, mask):
     """Mean squared error over masked patches only.  `mask` [B, N] has an
     exact per-sample count, so this equals the reference's gather+mse
     (engine_for_pretraining_moco.py:141)."""
-    err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
-    m = mask.astype(jnp.float32)[..., None]
+    acc = jnp.promote_types(pred.dtype, jnp.float32)  # never downcast f64
+    err = (pred.astype(acc) - target.astype(acc)) ** 2
+    m = mask.astype(acc)[..., None]
     denom = jnp.maximum(jnp.sum(m) * pred.shape[-1], 1.0)
     return jnp.sum(err * m) / denom
 

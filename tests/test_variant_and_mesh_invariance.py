@@ -13,6 +13,8 @@
    run_mae_pretraining_moco.py:389-392).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,14 +135,27 @@ def test_pretrain_cli_conv_patchnet(tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _run_steps(mesh, shard_params, steps=3):
+def _run_steps(mesh, shard_params, steps=3, dtype=None):
     """Fresh state from PRNGKey(0), `steps` pretrain steps on fixed
-    batches; returns (losses, final params on host)."""
-    model = tiny_model()
+    batches; returns (losses, final params on host).  With
+    dtype=jnp.float64 (x64 child below) params/EMA/batches are promoted
+    to f64 so reduction-order noise drops to ~1e-15 per op and sharding
+    errors cannot hide inside fp32 tolerance."""
+    model = tiny_model(**({"dtype": dtype} if dtype is not None else {}))
     lr = cosine_schedule(1e-3, 1e-5, 1, steps, warmup_steps=1)
     tx = make_optimizer(lr, cosine_schedule(0.05, 0.05, 1, steps),
                         clip_grad=3.0)
     state = init_pretrain_state(model, tx, jax.random.PRNGKey(0))
+    if dtype is not None:
+        from dig_tpu.train.state import TrainState
+
+        def cast(t):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+
+        state = TrainState.create(cast(state.params), tx,
+                                  ema_params=cast(state.ema_params))
     if shard_params:
         shardings = fsdp_param_shardings(mesh, state.params)
         if mesh.shape["tensor"] > 1:
@@ -159,6 +174,9 @@ def _run_steps(mesh, shard_params, steps=3):
     losses = []
     for i in range(steps):
         batch = fixed_batch(seed=100 + i)
+        if dtype is not None:
+            batch = {k: v.astype(dtype) if v.dtype.kind == "f" else v
+                     for k, v in batch.items()}
         if mesh is not None:
             batch = shard_batch(mesh, batch)
         else:
@@ -189,3 +207,64 @@ def test_mesh_configuration_invariance():
         max_diff = max(
             float(np.max(np.abs(x - y))) for x, y in zip(flat_a, flat_b))
         assert max_diff < 5e-3, (label, max_diff)
+
+
+def _x64_child_main():
+    """float64 mesh invariance, run in a fresh process (x64 is a global
+    jax switch; flipping it inside the suite would poison other tests).
+    f64 shrinks per-op reduction-order noise to ~1e-15, so the loss /
+    param tolerances drop 5-6 orders of magnitude below the fp32
+    variant's — a sharding rule that is subtly wrong (but within fp32's
+    5e-3) becomes a hard failure here.  The numerics islands that pin
+    softmax/norm/mse accumulation to AT LEAST f32 promote (never
+    downcast), so f64 inputs run f64 end-to-end; measured agreement is
+    ~5e-13 — downcasting any one island to f32 reappears as ~1e-4 param
+    drift (reduction order differs across shardings; Adam amplifies)."""
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+    _jax.config.update("jax_platforms", "cpu")
+    assert len(_jax.devices()) >= 8, _jax.devices()
+
+    ref_losses, ref_params = _run_steps(None, False, dtype=jnp.float64)
+    for (nd, nf, nt), shard in (((8, 1, 1), False), ((2, 2, 2), True)):
+        mesh = create_mesh(n_data=nd, n_fsdp=nf, n_tensor=nt)
+        losses, params = _run_steps(mesh, shard, dtype=jnp.float64)
+        label = f"x64 mesh {nd}x{nf}x{nt}"
+        for a, b in zip(losses, ref_losses):
+            assert abs(a - b) < 1e-6 * max(1.0, abs(b)), (label, losses,
+                                                          ref_losses)
+        max_diff = max(
+            float(np.max(np.abs(x - y)))
+            for x, y in zip(jax.tree_util.tree_leaves(params),
+                            jax.tree_util.tree_leaves(ref_params)))
+        assert max_diff < 1e-7, (label, max_diff)
+        print(f"{label}: OK  max_param_diff={max_diff:.3e}")
+    print("X64_MESH_INVARIANCE_OK")
+
+
+@pytest.mark.slow
+def test_mesh_invariance_float64_subprocess():
+    """Tight-tolerance variant of test_mesh_configuration_invariance:
+    same program in float64 on a fresh 8-device CPU backend, loss rtol
+    1e-6 / param atol 1e-7 (vs 2e-3 / 5e-3 in fp32)."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=8"])
+    env.pop("JAX_PLATFORMS", None)  # the child pins cpu via jax.config
+    proc = subprocess.run(
+        [_sys.executable, "-m", "tests.test_variant_and_mesh_invariance"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "X64_MESH_INVARIANCE_OK" in proc.stdout, proc.stdout[-2000:]
+
+
+if __name__ == "__main__":
+    _x64_child_main()
