@@ -257,10 +257,11 @@ def input_bench():
                 w.put(b"label-%09d" % i, b"sample")
             w.put(b"num-samples", str(n_samples).encode())
 
-    def rate(dataset) -> float:
+    def rate(dataset, n_workers=None, worker_type="thread") -> float:
         sampler = ShardedSampler(len(dataset), rank=0, world=1, seed=0)
         loader = DataLoader(dataset, sampler, batch_size=batch,
-                            num_workers=workers)
+                            num_workers=n_workers or workers,
+                            worker_type=worker_type)
         n_img = 0
         it = iter(loader)
         next(it)  # warm thread pool + cv2
@@ -275,6 +276,17 @@ def input_bench():
     ft_abi = rate(build_dataset(data, is_train=True, use_aug=True,
                                 use_abi_aug=True, rng=rng))
     ft_plain = rate(build_dataset(data, is_train=True, rng=rng))
+
+    # BENCH_INPUT_SWEEP=1: imgs/sec for the binding case (pretrain 2-view
+    # aug) over num_workers x {thread,process} — the worker-scaling data
+    # behind README "Feeding the chip".  On a single-core host the sweep
+    # measures overhead, not scaling (every config shares one core).
+    sweep = {}
+    if os.environ.get("BENCH_INPUT_SWEEP"):
+        for wt in ("thread", "process"):
+            for nw in (1, 2, 4, 8):
+                ds = build_pretraining_dataset(data, rng=np.random.default_rng(0))
+                sweep[f"{wt}_{nw}"] = round(rate(ds, nw, wt), 2)
     if tmp:
         tmp.cleanup()
 
@@ -295,6 +307,7 @@ def input_bench():
             "finetune_plain": round(ft_plain / cores, 2),
         },
         "device_demand_pretrain": DEVICE_PRETRAIN_IMGS_PER_SEC,
+        **({"worker_sweep": sweep} if sweep else {}),
     }))
 
 

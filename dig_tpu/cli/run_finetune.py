@@ -45,7 +45,7 @@ from dig_tpu.utils.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
-from dig_tpu.utils.logging import JsonlLogger, ScreenTee, TensorboardLogger, is_main_process
+from dig_tpu.utils.logging import JsonlLogger, ScreenTee, TensorboardLogger, is_main_process, print_every_rank
 from dig_tpu.utils.metric_logger import MetricLogger
 from dig_tpu.utils.schedules import cosine_schedule
 
@@ -305,6 +305,7 @@ def main(cfg: FinetuneConfig):
     loader = make_train_loader(
         train_ds, local_batch=local_batch, rank=rank, world=world,
         seed=cfg.seed, num_workers=cfg.num_workers,
+        worker_type=cfg.worker_type,
         batch_wise_shuffle=cfg.batch_wise_shuffle)
     steps_per_epoch = len(loader) // cfg.update_freq
     print(f"train: {len(train_ds)} imgs, {steps_per_epoch} steps/epoch")
@@ -411,10 +412,10 @@ def main(cfg: FinetuneConfig):
                 if cfg.output_dir:
                     save_checkpoint(cfg.output_dir, epoch, state,
                                     extra={"epoch": epoch - 1})
-                    print(f"[preemption] checkpointed at epoch {epoch} "
+                    print_every_rank(f"[preemption] checkpointed at epoch {epoch} "
                           f"step {it}; exiting")
                     sys.exit(0)
-                print(f"[preemption] no output_dir to checkpoint to "
+                print_every_rank(f"[preemption] no output_dir to checkpoint to "
                       f"(epoch {epoch} step {it}); exiting 143")
                 sys.exit(143)
             if it % print_freq == 0 or it == steps_per_epoch - 1:
@@ -439,7 +440,7 @@ def main(cfg: FinetuneConfig):
                                            accuracy_fn, mesh=mesh)
                 if stats["acc"] > max_accuracy:
                     max_accuracy = stats["acc"]
-                    if cfg.output_dir and cfg.save_ckpt:
+                    if cfg.output_dir and cfg.save_ckpt and cfg.save_best:
                         save_checkpoint(cfg.output_dir, "best", state,
                                         extra={"epoch": epoch, "acc": stats["acc"]})
         print("Averaged stats:", logger)
@@ -450,7 +451,7 @@ def main(cfg: FinetuneConfig):
                                        mesh=mesh)
             if stats["acc"] > max_accuracy:
                 max_accuracy = stats["acc"]
-                if cfg.output_dir and cfg.save_ckpt:
+                if cfg.output_dir and cfg.save_ckpt and cfg.save_best:
                     save_checkpoint(cfg.output_dir, "best", state,
                                     extra={"epoch": epoch, "acc": stats["acc"]})
         if cfg.output_dir and cfg.save_ckpt and (

@@ -34,7 +34,7 @@ from dig_tpu.optim import make_optimizer
 from dig_tpu.parallel.mesh import create_mesh, shard_batch
 from dig_tpu.train.pretrain import init_pretrain_state, make_pretrain_step
 from dig_tpu.utils.checkpoint import auto_resume, restore_checkpoint, save_checkpoint
-from dig_tpu.utils.logging import JsonlLogger, ScreenTee, TensorboardLogger, is_main_process
+from dig_tpu.utils.logging import JsonlLogger, ScreenTee, TensorboardLogger, is_main_process, print_every_rank
 from dig_tpu.utils.metric_logger import MetricLogger
 from dig_tpu.utils.schedules import (
     contrast_weight_schedule,
@@ -88,6 +88,7 @@ def main(cfg: PretrainConfig):
     loader = make_train_loader(
         dataset, local_batch=local_batch, rank=rank, world=world,
         seed=cfg.seed, num_workers=cfg.num_workers,
+        worker_type=cfg.worker_type,
         batch_wise_shuffle=cfg.batch_wise_shuffle)
     steps_per_epoch = len(loader)
     total_steps = steps_per_epoch * cfg.epochs
@@ -190,12 +191,12 @@ def main(cfg: PretrainConfig):
                 if cfg.output_dir:
                     save_checkpoint(cfg.output_dir, epoch, state,
                                     extra={"epoch": epoch - 1})
-                    print(f"[preemption] checkpointed at epoch {epoch} "
+                    print_every_rank(f"[preemption] checkpointed at epoch {epoch} "
                           f"step {it}; exiting")
                     sys.exit(0)
                 # nothing saved: exit nonzero so wrappers don't count a
                 # partial run as complete
-                print(f"[preemption] no output_dir to checkpoint to "
+                print_every_rank(f"[preemption] no output_dir to checkpoint to "
                       f"(epoch {epoch} step {it}); exiting 143")
                 sys.exit(143)
             if it % print_freq == 0 or it == steps_per_epoch - 1:

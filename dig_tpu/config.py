@@ -65,6 +65,9 @@ class PretrainConfig:
     max_len: int = 25
     aloneimage_num_samples: float = float("inf")
     num_workers: int = 10
+    # "thread" (default; cv2/numpy release the GIL) or "process" (forked
+    # workers, torch-DataLoader style) — see data/pipeline.py
+    worker_type: str = "thread"
     # per-batch source homogeneity for multi-LMDB training (the reference
     # imports DistributedMultiSrcBatchWiseSampler but never instantiates it,
     # run_mae_pretraining_moco.py:31 vs :350-352 — wired here as an opt-in)
@@ -182,6 +185,9 @@ class FinetuneConfig:
     # of in cv2 host workers — frees the host pipeline at TPU batch sizes
     device_abi_aug: bool = False
     num_workers: int = 10
+    # "thread" (default; cv2/numpy release the GIL) or "process" (forked
+    # workers, torch-DataLoader style) — see data/pipeline.py
+    worker_type: str = "thread"
     # per-batch source homogeneity for multi-LMDB training (see PretrainConfig)
     batch_wise_shuffle: bool = False
     # run
@@ -189,6 +195,12 @@ class FinetuneConfig:
     log_dir: Optional[str] = None
     seed: int = 0
     save_ckpt: bool = True
+    # save a 'best' checkpoint on every eval-accuracy improvement (the
+    # reference's behavior, run_class_finetuning.py:617-624).  --no_save_best
+    # keeps only the periodic/final saves — useful on hosts with a slow
+    # device->host path where tens of best-saves dominate wall time
+    # (see VALIDATION.md "Known environment artifact")
+    save_best: bool = True
     save_ckpt_freq: int = 1
     keep_ckpt_max: int = 0  # keep only the newest N numeric ckpts (0 = all)
     eval_freq: int = 1000

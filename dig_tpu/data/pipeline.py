@@ -2,10 +2,13 @@
 
 Replaces torch `DataLoader(num_workers=10, pin_memory=True)` (reference:
 run_mae_pretraining_moco.py:365-372).  Decode + augmentation are
-CPU-bound but GIL-releasing (cv2, numpy), so a thread pool suffices and
-avoids process-spawn overhead; batches are assembled as contiguous numpy
-arrays and double-buffered onto the device so the TPU never waits on the
-host (HBM boundary: the only H2D copies per step happen here).
+CPU-bound but mostly GIL-releasing (cv2, numpy), so the default thread
+pool suffices and avoids process-spawn overhead; `worker_type="process"`
+switches to forked process workers (torch-DataLoader style) for hosts
+where Python-level augmentation serializes on the GIL.  Batches are
+assembled as contiguous numpy arrays and double-buffered onto the device
+so the TPU never waits on the host (HBM boundary: the only H2D copies
+per step happen here).
 """
 
 from __future__ import annotations
@@ -38,8 +41,61 @@ class ThreadLocalRng:
             self._tl.g = g
         return g
 
+    def reseed(self, seed: int) -> None:
+        """Replace the base stream and drop any cached thread-local
+        children.  Used by process workers after fork: every child
+        inherits the parent's RNG state bit-for-bit, so without a
+        per-worker reseed all workers would produce IDENTICAL
+        augmentation streams (the reference guards the same hazard with
+        `seed_worker`, utils/utils.py)."""
+        with self._lock:
+            self._base = np.random.default_rng(seed)
+            self._tl = threading.local()
+
     def __getattr__(self, name):
         return getattr(self._rng(), name)
+
+
+def reseed_dataset_rngs(dataset, seed: int) -> None:
+    """Best-effort walk reseeding every ThreadLocalRng a dataset (or a
+    ConcatDataset of them) holds.  Augment objects share the dataset's
+    `rng` reference, so reseeding the dataset covers them too."""
+    rng = getattr(dataset, "rng", None)
+    if isinstance(rng, ThreadLocalRng):
+        rng.reseed(seed)
+    for i, child in enumerate(getattr(dataset, "datasets", []) or []):
+        reseed_dataset_rngs(child, seed * 1000003 + i)
+
+
+# ---------------------------------------------------------------------------
+# Process workers (fork).  The dataset is made visible to children by
+# forking AFTER it exists — read-only mmap LMDB handles are fork-safe and
+# shared copy-on-write, so nothing is pickled per task except the integer
+# index and the returned sample.  Children must reseed their RNGs (see
+# ThreadLocalRng.reseed).  Use when host augmentation is pure-Python
+# (GIL-bound) or the host has cores to spare; the default thread pool is
+# cheaper when the per-sample work releases the GIL (cv2/numpy).
+# ---------------------------------------------------------------------------
+
+_proc_dataset = None
+
+
+def _proc_init(dataset, base_seed: int) -> None:
+    global _proc_dataset
+    _proc_dataset = dataset
+    import os
+
+    reseed_dataset_rngs(dataset, base_seed + os.getpid())
+    try:  # cv2 workers must not spawn their own thread pools (1 core each)
+        import cv2
+
+        cv2.setNumThreads(0)
+    except ImportError:
+        pass
+
+
+def _proc_getitem(i: int):
+    return _proc_dataset[i]
 
 
 def _stack(samples):
@@ -70,7 +126,8 @@ def device_prefetch(iterator, to_device: Callable, depth: int = 2):
 
 def make_train_loader(dataset, *, local_batch: int, rank: int, world: int,
                       seed: int, num_workers: int,
-                      batch_wise_shuffle: bool = False):
+                      batch_wise_shuffle: bool = False,
+                      worker_type: str = "thread"):
     """The training sampler/loader wiring shared by both CLIs: either a
     per-host `ShardedSampler` + fixed batch size, or — with
     ``batch_wise_shuffle`` — the `MultiSourceBatchSampler` that draws every
@@ -83,10 +140,12 @@ def make_train_loader(dataset, *, local_batch: int, rank: int, world: int,
             getattr(dataset, "cumulative_sizes", [len(dataset)]),
             batch_size=local_batch, rank=rank, world=world, seed=seed)
         return DataLoader(dataset, sampler, batch_size=None,
-                          num_workers=num_workers)
+                          num_workers=num_workers, worker_type=worker_type,
+                          seed=seed)
     sampler = ShardedSampler(len(dataset), rank=rank, world=world, seed=seed)
     return DataLoader(dataset, sampler, batch_size=local_batch,
-                      num_workers=num_workers)
+                      num_workers=num_workers, worker_type=worker_type,
+                      seed=seed)
 
 
 class DataLoader:
@@ -107,7 +166,10 @@ class DataLoader:
         drop_last: bool = True,
         collate: Callable = _stack,
         to_device: Optional[Callable] = None,
+        worker_type: str = "thread",
+        seed: int = 0,
     ):
+        assert worker_type in ("thread", "process"), worker_type
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
@@ -116,6 +178,8 @@ class DataLoader:
         self.drop_last = drop_last
         self.collate = collate
         self.to_device = to_device
+        self.worker_type = worker_type
+        self.seed = seed
 
     def _batches(self) -> Iterator[list]:
         if self.batch_size is None:
@@ -155,8 +219,21 @@ class DataLoader:
                     pass
             return False
 
+        def make_pool():
+            if self.worker_type == "process":
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+
+                return ProcessPoolExecutor(
+                    self.num_workers, mp_context=mp.get_context("fork"),
+                    initializer=_proc_init,
+                    initargs=(self.dataset, self.seed)), _proc_getitem
+            return (ThreadPoolExecutor(self.num_workers),
+                    self.dataset.__getitem__)
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            pool, fetch = make_pool()
+            with pool:
                 pending = []
 
                 def drain(futs) -> bool:
@@ -171,7 +248,7 @@ class DataLoader:
                         # the GIL), so batch latency is ~1/num_workers of the
                         # serial cost on multi-core hosts
                         pending.append(
-                            [pool.submit(self.dataset.__getitem__, i) for i in batch_idx]
+                            [pool.submit(fetch, i) for i in batch_idx]
                         )
                         while len(pending) >= self.prefetch:
                             if not drain(pending.pop(0)):

@@ -24,6 +24,20 @@ def is_main_process() -> bool:
         return True
 
 
+# the real builtin, captured before any setup_print_for_distributed shim
+# replaces it — operational messages (preemption catches, fatal paths)
+# must be visible from EVERY host, not just rank 0
+_BUILTIN_PRINT = builtins.print
+
+
+def print_every_rank(*args, **kwargs):
+    """Print that bypasses the non-zero-rank gate.  Use for per-host
+    operational events where WHICH host matters (e.g. which worker
+    caught SIGTERM), never for metric spam."""
+    kwargs.setdefault("flush", True)
+    _BUILTIN_PRINT(*args, **kwargs)
+
+
 def setup_print_for_distributed():
     """Silence print on non-zero hosts (force=True overrides)."""
     builtin_print = builtins.print

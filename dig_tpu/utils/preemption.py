@@ -85,8 +85,12 @@ class PreemptionGuard:
             return
         self._stop = True
         name = signal.Signals(signum).name
-        print(f"[preemption] caught {name}; will checkpoint at the next "
-              "step boundary (send again to force-quit)", file=sys.stderr)
+        # bypass the rank-0 print gate (utils/logging.py): the catch must
+        # be visible from WHICHEVER host received the signal
+        sys.stderr.write(
+            f"[preemption] caught {name}; will checkpoint at the next "
+            "step boundary (send again to force-quit)\n")
+        sys.stderr.flush()
 
     @classmethod
     def install(cls) -> "PreemptionGuard":

@@ -191,3 +191,42 @@ def test_multi_source_datasets_share_rng(fixture_lmdb):
     rngs = {id(sub.rng) for sub in ds.datasets}
     assert len(rngs) == 1
     assert isinstance(ds.datasets[0].rng, ThreadLocalRng)
+
+
+def test_dataloader_process_workers_match_thread_workers(fixture_lmdb):
+    """worker_type="process" (forked workers) must deliver the same
+    batches in the same order as the thread pool for a deterministic
+    (no-aug) dataset — the executor is an implementation detail."""
+    ds = ImageLmdb(fixture_lmdb, max_len=25)
+    sampler = ShardedSampler(len(ds), shuffle=False)
+    want = list(DataLoader(ds, sampler, batch_size=4, num_workers=2))
+    got = list(DataLoader(ds, sampler, batch_size=4, num_workers=2,
+                          worker_type="process"))
+    assert len(got) == len(want)
+    for (wi, wl, wn), (gi, gl, gn) in zip(want, got):
+        np.testing.assert_array_equal(gi, wi)
+        np.testing.assert_array_equal(gl, wl)
+        np.testing.assert_array_equal(gn, wn)
+
+
+def test_process_workers_reseed_rng_streams(fixture_lmdb):
+    """Forked children inherit the parent RNG state bit-for-bit; the
+    process pool must reseed per worker (pipeline._proc_init) or every
+    worker produces IDENTICAL augmentation streams.  With 2 workers and
+    an augmenting dataset, the same index fetched by different workers
+    must not be deterministically equal across epochs."""
+    from dig_tpu.data.dataset import build_pretraining_dataset
+
+    ds = build_pretraining_dataset(fixture_lmdb, num_view=2,
+                                   rng=np.random.default_rng(0))
+    sampler = ShardedSampler(len(ds), shuffle=False)
+    # two epochs through the SAME loader config: per-epoch pools fork
+    # fresh children; without the reseed both epochs replay the parent's
+    # inherited stream and the augmented views come out identical
+    a = list(DataLoader(ds, sampler, batch_size=4, num_workers=2,
+                        worker_type="process", seed=1))
+    b = list(DataLoader(ds, sampler, batch_size=4, num_workers=2,
+                        worker_type="process", seed=2))
+    aug_a = np.concatenate([x[1] for x in a])
+    aug_b = np.concatenate([x[1] for x in b])
+    assert not np.array_equal(aug_a, aug_b)
