@@ -45,18 +45,19 @@ def _free_port():
 _INFRA_FLAKE = "Gloo context initialization failed"
 
 
-def _run_two_ranks(boot, cli_args, out):
+def _run_n_ranks(n_ranks, boot, cli_args, out, local_devices=2):
     for attempt in range(2):
         port = _free_port()
         procs = []
-        for rank in range(2):
+        for rank in range(n_ranks):
             env = dict(
                 os.environ,
                 JAX_PLATFORMS="cpu",
-                XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                XLA_FLAGS=("--xla_force_host_platform_device_count="
+                           f"{local_devices}"),
                 MASTER_ADDR="127.0.0.1",
                 MASTER_PORT=str(port),
-                WORLD_SIZE="2",
+                WORLD_SIZE=str(n_ranks),
                 RANK=str(rank),
                 JAX_COMPILATION_CACHE_DIR="/tmp/jaxcache_cpu_mp",
             )
@@ -83,6 +84,10 @@ def _run_two_ranks(boot, cli_args, out):
             assert p.returncode == 0, \
                 f"rank {rank} failed:\n{outputs[rank][-4000:]}"
         return outputs
+
+
+def _run_two_ranks(boot, cli_args, out):
+    return _run_n_ranks(2, boot, cli_args, out)
 
 
 @pytest.fixture(scope="module")
@@ -192,3 +197,129 @@ def test_two_process_finetune_with_dist_eval(tiny_lmdb, tmp_path):
     assert int(m.group(1)) == 16
     assert os.path.isdir(os.path.join(out, "checkpoint-0"))
     assert "Averaged stats" not in outputs[1]
+
+
+def test_four_process_preemption_consensus(tiny_lmdb, tmp_path):
+    """4-host rendezvous + the preemption consensus at >2 hosts: SIGTERM
+    ONE non-zero rank mid-run; `sync_should_stop` must fan the stop out
+    to every host at the next poll boundary so the collective save and
+    the rank-0 write gate line up (utils/preemption.py:46-76), every
+    rank exits 0, a mid-run checkpoint exists, and a fresh 4-process
+    launch auto-resumes from it and completes."""
+    import signal
+    import threading
+    import time
+
+    out = str(tmp_path / "out")
+    epochs = 40
+    args = ["--model", "pretrain_simmim_moco_ori_vit_micro_patch4_32x128",
+            "--image_alone_path", tiny_lmdb,
+            "--batch_size", "1",            # 1 device/host -> global batch 4
+            "--epochs", str(epochs),
+            "--warmup_steps", "2",
+            "--moco_mlp_dim", "32", "--moco_dim", "16",
+            "--num_windows", "4", "--num_workers", "0",
+            "--save_ckpt_freq", "1000",     # only preemption/final saves
+            "--eval_freq", "0",
+            "--dtype", "float32",
+            "--output_dir", out]
+
+    def launch():
+        port = _free_port()
+        procs = []
+        for rank in range(4):
+            env = dict(
+                os.environ,
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=1",
+                MASTER_ADDR="127.0.0.1",
+                MASTER_PORT=str(port),
+                WORLD_SIZE="4",
+                RANK=str(rank),
+                JAX_COMPILATION_CACHE_DIR="/tmp/jaxcache_cpu_mp",
+            )
+            env.pop("JAX_NUM_CPU_DEVICES", None)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", _BOOT, *args],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        return procs
+
+    for attempt in range(3):
+        procs = launch()
+        # Drain ranks 1-3 concurrently from the start: an unread stdout
+        # pipe fills at 64 KiB and BLOCKS that rank mid-step, which the
+        # hardcoded 30 s gloo collective timeout then converts into a
+        # fleet-wide crash.  Rank 0 is the only chatty rank (MetricLogger
+        # prints are rank-0-gated), so IT is the one we stream for epoch
+        # progress and must never leave unread.
+        others = {}
+        threads = []
+        for i in (1, 2, 3):
+            t = threading.Thread(
+                target=lambda i=i: others.__setitem__(
+                    i, procs[i].stdout.read()))
+            t.start()
+            threads.append(t)
+        try:
+            # stream rank 0's stdout until training is demonstrably
+            # mid-run, then SIGTERM rank 2 ONLY (neither the streamed
+            # rank nor the checkpoint-writing rank 0 — the cross-host
+            # consensus is what must fan the stop out)
+            seen = []
+            deadline = time.time() + 900
+            while time.time() < deadline:
+                line = procs[0].stdout.readline()
+                if not line:
+                    break
+                seen.append(line)
+                if "Epoch: [2]" in line:
+                    break
+            else:
+                pytest.fail("rank 0 never reached epoch 2")
+            flake = not any("Epoch: [2]" in l for l in seen)
+            if flake and attempt < 2:
+                # cold-compile rendezvous flake: on a 1-core host the 4
+                # ranks' first compiles serialize, the earliest rank's
+                # first collective outlives gloo's 30 s window, and the
+                # coordination service kills the fleet.  Each attempt
+                # leaves the (shared) XLA cache warmer, so retry.
+                for p in procs:
+                    p.kill()
+                for t in threads:
+                    t.join(timeout=30)
+                continue
+            assert not flake, "".join(seen)[-4000:]
+            procs[2].send_signal(signal.SIGTERM)
+            rest0 = procs[0].stdout.read()
+            deadline = time.time() + 1200
+            for p in procs:
+                p.wait(timeout=max(1.0, deadline - time.time()))
+            for t in threads:
+                t.join(timeout=30)
+        except Exception:
+            for p in procs:
+                p.kill()
+            raise
+        outputs = ["".join(seen) + rest0, others[1], others[2], others[3]]
+        for rank, p in enumerate(procs):
+            assert p.returncode == 0, \
+                f"rank {rank} rc={p.returncode}:\n{(outputs[rank] or '')[-4000:]}"
+        break
+
+    # the signaled rank announced the catch; rank 0 wrote the consensus
+    # checkpoint even though IT never received a signal
+    assert "[preemption] caught SIGTERM" in outputs[2]
+    assert "[preemption] checkpointed" in outputs[0]
+    cks = [d for d in os.listdir(out) if d.startswith("checkpoint-")]
+    assert cks, os.listdir(out)
+    preempt_epoch = max(int(d.split("-")[1]) for d in cks)
+    assert preempt_epoch < epochs - 1  # mid-run, not a completed schedule
+
+    # fresh 4-process launch: auto-resume from the consensus checkpoint
+    # and run the remaining epochs to completion
+    outputs = _run_n_ranks(4, _BOOT, args[:-2], out, local_devices=1)
+    assert f"checkpoint-{epochs - 1}" in os.listdir(out)
+    assert "Averaged stats" in outputs[0]
+    resumed = [l for l in outputs[0].splitlines() if "resum" in l.lower()]
+    assert resumed, outputs[0][-3000:]
