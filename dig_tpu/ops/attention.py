@@ -259,7 +259,8 @@ _pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 
 
 # ---------------------------------------------------------------------------
-# LSE-residual variant (DIG_TPU_ATTN_STORE_LSE=1): the forward kernel
+# LSE-residual variant (default; DIG_TPU_ATTN_STORE_LSE=0 opts out): the
+# forward kernel
 # additionally writes each softmax row's max `m` and exp2-sum `s`
 # ([B, Lq, H] — H/(H*D) = 64x smaller than the o-tensor the rejected
 # flash-D trick streamed), and the backward kernel consumes them instead
@@ -435,8 +436,11 @@ def _use_pallas(q, k, mask) -> bool:
 
 
 def _kernel_fn():
-    """LSE-residual A/B switch, read at trace time (see block above)."""
-    if os.environ.get("DIG_TPU_ATTN_STORE_LSE", "0") == "1":
+    """LSE-residual switch, read at trace time (see block above).
+    Default ON: measured in-model 950.7 vs 940.6 imgs/s/chip (+1.1 %,
+    step 136.1 -> 134.7 ms, two repeats each within +-0.03 %) —
+    `DIG_TPU_ATTN_STORE_LSE=0` restores the recompute-everything bwd."""
+    if os.environ.get("DIG_TPU_ATTN_STORE_LSE", "1") == "1":
         return _pallas_attention_lse
     return _pallas_attention
 
