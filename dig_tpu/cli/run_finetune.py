@@ -46,6 +46,7 @@ from dig_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from dig_tpu.utils.logging import JsonlLogger, ScreenTee, TensorboardLogger, is_main_process, print_every_rank
+from dig_tpu.utils.rng import host_step_key
 from dig_tpu.utils.metric_logger import MetricLogger
 from dig_tpu.utils.schedules import cosine_schedule
 
@@ -369,7 +370,6 @@ def main(cfg: FinetuneConfig):
         step_fn = make_finetune_step(model, smoothing=cfg.smoothing, mesh=mesh)
     tb = TensorboardLogger(cfg.log_dir or os.path.join(cfg.output_dir, "tb"))
     jsonl = JsonlLogger(cfg.output_dir)
-    step_rng = jax.random.PRNGKey(cfg.seed + 1)
     print_freq = 100
     max_accuracy = 0.0
     from dig_tpu.utils.preemption import PreemptionGuard
@@ -391,10 +391,13 @@ def main(cfg: FinetuneConfig):
             batch = shard_batch(mesh, {
                 "images": images, "targets": targets, "lengths": lens,
             })
+            # host-built per-step keys: a split-chain here would issue
+            # 1-2 eager device dispatches per step (utils/rng.py)
+            gstep = epoch * steps_per_epoch + it
             if aug_fn is not None:
-                step_rng, asub = jax.random.split(step_rng)
+                asub = host_step_key(cfg.seed + 1, 1, gstep)
                 batch["images"] = aug_fn(asub, batch["images"])
-            step_rng, sub = jax.random.split(step_rng)
+            sub = host_step_key(cfg.seed + 1, 0, gstep)
             state, metrics, pred_ids = step_fn(state, batch, sub)
             tracer.tick()
             # every=25: bounded-latency consensus (~seconds) without a

@@ -35,6 +35,7 @@ from dig_tpu.parallel.mesh import create_mesh, shard_batch
 from dig_tpu.train.pretrain import init_pretrain_state, make_pretrain_step
 from dig_tpu.utils.checkpoint import auto_resume, restore_checkpoint, save_checkpoint
 from dig_tpu.utils.logging import JsonlLogger, ScreenTee, TensorboardLogger, is_main_process, print_every_rank
+from dig_tpu.utils.rng import host_step_key
 from dig_tpu.utils.metric_logger import MetricLogger
 from dig_tpu.utils.schedules import (
     contrast_weight_schedule,
@@ -149,7 +150,6 @@ def main(cfg: PretrainConfig):
 
     tb = TensorboardLogger(cfg.log_dir or os.path.join(cfg.output_dir, "tb"))
     jsonl = JsonlLogger(cfg.output_dir)
-    step_rng = jax.random.PRNGKey(cfg.seed + 1)
     print_freq = 100
     from dig_tpu.utils.preemption import PreemptionGuard
 
@@ -174,9 +174,12 @@ def main(cfg: PretrainConfig):
         for it, batch in enumerate(
             logger.log_every(batches, print_freq, header, total=steps_per_epoch)
         ):
-            step_rng, sub = jax.random.split(step_rng)
+            # host-built per-step keys: a split-chain here would issue
+            # 1-2 eager device dispatches per step (utils/rng.py)
+            gstep = epoch * steps_per_epoch + it
+            sub = host_step_key(cfg.seed + 1, 0, gstep)
             if view_fn is not None:
-                step_rng, vsub = jax.random.split(step_rng)
+                vsub = host_step_key(cfg.seed + 1, 1, gstep)
                 batch = view_fn(vsub, batch["images"])
             state, metrics = step_fn(state, batch, sub)
             tracer.tick()
