@@ -43,6 +43,10 @@ PRE_MODEL=${PRE_MODEL:-pretrain_simmim_moco_ori_vit_tiny_patch4_32x128}
 FT_MODEL=${FT_MODEL:-vit_tiny_patch4_32x128}
 DECODER=${DECODER:-small_tf_decoder}
 BEAM_WIDTH=${BEAM_WIDTH:-}
+# 8e-4 is right for ViT-tiny; ViT-SMALL collapses at that peak on this
+# corpus scale (train loss flatlines ~10.3 for 40+ epochs, acc ~0 —
+# measured round 5) and needs FT_LR=2e-4 with ~2x the epochs instead
+FT_LR=${FT_LR:-8e-4}
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}
 cd "$(dirname "$0")/.."
 
@@ -73,7 +77,7 @@ for ARM in scratch ssl; do
     --model "$FT_MODEL" --decoder_name "$DECODER" \
     --data_path "$D/corpusB/labeled" --eval_data_path "$D/corpusB/test" \
     --batch_size 128 --epochs "$FT_EPOCHS" --warmup_epochs 2 --num_workers 8 \
-    --lr 8e-4 $EXTRA $SAVE \
+    --lr "$FT_LR" $EXTRA $SAVE \
     --output_dir "$D/ft_$ARM" --eval_freq 0
 done
 
@@ -106,7 +110,7 @@ if [ -n "${LOW_LABEL:-}" ]; then
       --num_samples "$LOW_LABEL" \
       --batch_size 128 --epochs "$LL_EPOCHS" \
       --warmup_epochs $((LL_EPOCHS / 30)) --num_workers 8 \
-      --lr 8e-4 $EXTRA --no_save_ckpt \
+      --lr "$FT_LR" $EXTRA --no_save_ckpt \
       --output_dir "$D/ft_${ARM}_low" --save_ckpt_freq 100000 --eval_freq 0
   done
 fi
